@@ -1,0 +1,109 @@
+"""ReadScanModel forward-step tests on synthetic library-structure reads."""
+import numpy as np
+import pytest
+
+from sicelore_tpu.models.readscan import ReadScanModel, bucket_length
+from sicelore_tpu.ops import editdist
+from sicelore_tpu.utils import dna, synth
+
+
+@pytest.fixture(scope="module")
+def model():
+    return ReadScanModel()
+
+
+def _scan(model, reads):
+    seqs, quals, lens = synth.reads_to_batch(
+        reads, bucket_length(max(len(r["seq"]) for r in reads)))
+    return model(seqs, quals, lens), lens
+
+
+def test_fwd_read_geometry(model):
+    rng = np.random.default_rng(0)
+    bc = synth.random_seq(rng, 16)
+    # rc(umi) must not start with A or PE tightening absorbs it into polyA
+    reads = [synth.make_read(rng, bc, umi="ACGTACGTACGC", cdna_len=300,
+                             polya_len=18)]
+    out, lens = _scan(model, reads)
+    L = int(lens[0])
+    assert bool(out["stranded"][0]) and bool(out["is_fwd"][0])
+    # layout: TSO(16) cDNA(300) A*18 rcUMI(12) rcBC(16) rcAdapter(22)
+    ps, pe, ae = int(out["ps"][0]), int(out["pe"][0]), int(out["ae"][0])
+    # PS/PE can absorb adjacent A's of cDNA/rcUMI (indistinguishable from
+    # polyA); AE is exact.
+    assert abs(ps - (16 + 300)) <= 2
+    assert abs(pe - (16 + 300 + 18 - 1)) <= 2
+    assert ae == 16 + 300 + 18 + 12 + 16  # first rcAdapter base
+    assert int(out["adapter_ed"][0]) == 0
+    assert int(out["tso_end"][0]) == 15
+    # BC window (sense orientation) contains the exact barcode
+    w = dna.decode(out["bc_windows"][0]).replace(".", "")
+    assert bc in w
+
+
+def test_rev_read_geometry(model):
+    rng = np.random.default_rng(1)
+    bc = synth.random_seq(rng, 16)
+    reads = [synth.make_read(rng, bc, umi="ACGTACGTACGC", cdna_len=250,
+                             polya_len=20, reverse=True)]
+    out, lens = _scan(model, reads)
+    assert bool(out["stranded"][0]) and not bool(out["is_fwd"][0])
+    ps, pe, ae = int(out["ps"][0]), int(out["pe"][0]), int(out["ae"][0])
+    assert abs(ps - (16 + 250)) <= 2
+    assert abs(pe - (16 + 250 + 20 - 1)) <= 2
+    assert ae == 16 + 250 + 20 + 12 + 16
+    w = dna.decode(out["bc_windows"][0]).replace(".", "")
+    assert bc in w
+    assert int(out["tso_end"][0]) == 15
+
+
+def test_noisy_reads_mostly_stranded(model):
+    rng = np.random.default_rng(2)
+    wl = synth.make_whitelist(rng, 8)
+    reads = [synth.make_read(rng, wl[i % 8], cdna_len=int(rng.integers(150, 800)),
+                             error_rate=0.07, reverse=bool(i % 2))
+             for i in range(64)]
+    out, _ = _scan(model, reads)
+    frac = float(np.mean(out["stranded"]))
+    assert frac > 0.85, frac
+    # strand calls correct for the stranded ones
+    want_fwd = np.array([not r["reverse"] for r in reads])
+    agree = np.mean((out["is_fwd"] == want_fwd)[out["stranded"]])
+    assert agree > 0.95, agree
+
+
+def test_bc_recovery_via_sweep(model):
+    """End-to-end: scan -> BC window -> Myers sweep finds the true barcode."""
+    rng = np.random.default_rng(3)
+    wl = synth.make_whitelist(rng, 64)
+    idx_truth = rng.integers(0, 64, 32)
+    reads = [synth.make_read(rng, wl[t], error_rate=0.05, reverse=bool(i % 2))
+             for i, t in enumerate(idx_truth)]
+    out, _ = _scan(model, reads)
+    pats, _ = dna.encode_batch([w.encode() for w in wl], 16)
+    peq = editdist.build_peq(pats)
+    import jax.numpy as jnp
+    ed, _pos = editdist.myers_sweep(jnp.asarray(out["bc_windows"]),
+                                    jnp.asarray(peq), 16)
+    got = np.argmin(np.asarray(ed), axis=1)
+    ok = (got == idx_truth) & np.asarray(out["stranded"])
+    assert ok.mean() > 0.9, ok.mean()
+
+
+def test_unstranded_garbage(model):
+    rng = np.random.default_rng(4)
+    reads = [{"seq": synth.random_seq(rng, 500).encode(),
+              "qual": b"I" * 500} for _ in range(8)]
+    out, _ = _scan(model, reads)
+    assert float(np.mean(out["stranded"])) < 0.3
+
+
+def test_internal_sites_chimera(model):
+    rng = np.random.default_rng(5)
+    wl = synth.make_whitelist(rng, 4)
+    chim = synth.make_chimera(rng, wl[0], wl[1], cdna_len=400)
+    normal = synth.make_read(rng, wl[2], cdna_len=400)
+    out, _ = _scan(model, [chim, normal])
+    # chimeric read: internal polyA (molecule 1's tail) away from edges
+    assert int(out["n_internal_a"][0]) >= 1
+    assert int(out["n_internal_a"][1]) == 0
