@@ -1,0 +1,86 @@
+"""sicelore_tpu CLI — mirrors the reference command surface.
+
+Engine A commands (reference NanoporeBC_UMI_finder-2.1.jar,
+com.rw.parsermain.Main): scanfastq, assignumis, tagbamwithread.
+Engine B commands (reference Sicelore-2.1.jar, org.ipmc.sicelore.cmdline):
+added as programs land (isoformmatrix, computeconsensus, ...).
+
+Usage: python -m sicelore_tpu <command> [options]
+Reference CLI spec: /root/reference/README.md:146-330.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+
+def _add_scanfastq(sub):
+    p = sub.add_parser("scanfastq", help="strand reads, split chimeras, "
+                       "assign cell barcodes (reference scanfastq)")
+    p.add_argument("-d", "--inDir", required=True,
+                   help="comma-separated directories/files to search for fastq")
+    p.add_argument("-o", "--outDir", required=True)
+    p.add_argument("-b", "--bcEditDistance", type=int, default=1,
+                   help="max edit distance for barcode assignment (default 1)")
+    p.add_argument("-g", "--cellRangerBCs", default=None,
+                   help="tsv of known cell barcodes; skips pass-1 discovery")
+    p.add_argument("--whitelist", default=None,
+                   help="10x whitelist file (3M-february-2018.txt.gz / 737K)")
+    p.add_argument("-e", "--randomBarcode", action="store_true",
+                   help="negative control: replace BC windows with random seq")
+    p.add_argument("-c", "--compress", action="store_true")
+    p.add_argument("-v", "--pattern", default=r".{1,}\.(fastq|fq)(\.gz)?$")
+    p.add_argument("--config", default=None, help="reference-format config.xml")
+    p.add_argument("--chunkSize", type=int, default=50_000)
+    p.add_argument("--errorPercent", type=int, default=1,
+                   help="assumed read error %% for the dynamic ED table")
+    return p
+
+
+def cmd_scanfastq(args) -> int:
+    import numpy as np
+
+    from sicelore_tpu.pipeline.scanfastq import ScanFastqPipeline, load_whitelist
+    from sicelore_tpu.utils.config import PipelineConfig, load_config_xml
+
+    cfg = load_config_xml(args.config) if args.config else PipelineConfig()
+    if args.cellRangerBCs:
+        bcs = [l.strip().split("-")[0] for l in open(args.cellRangerBCs)
+               if l.strip()]
+        wl = bcs
+    elif args.whitelist:
+        wl = load_whitelist(args.whitelist)
+    else:
+        print("ERROR: provide --whitelist (10x barcode list) or "
+              "-g/--cellRangerBCs", file=sys.stderr)
+        return 2
+    pipe = ScanFastqPipeline(cfg, whitelist=wl,
+                             random_barcode=args.randomBarcode,
+                             chunk_size=args.chunkSize,
+                             error_percent=args.errorPercent,
+                             user_max_ed=args.bcEditDistance,
+                             known_cells=bool(args.cellRangerBCs),
+                             compress=args.compress)
+    inputs = [Path(s) for s in args.inDir.split(",")]
+    stats = pipe.run(inputs, args.outDir)
+    print(f"scanfastq done: {stats.total_reads} reads, "
+          f"{stats.stranded} stranded, {stats.bc_assigned} BC-assigned "
+          f"({stats.split_chimeric} chimera splits, "
+          f"{stats.multi_chimeric_discarded} multi-chimeric discarded)")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="sicelore_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    _add_scanfastq(sub)
+    args = ap.parse_args(argv)
+    if args.cmd == "scanfastq":
+        return cmd_scanfastq(args)
+    ap.error(f"unknown command {args.cmd}")
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,9 +1,15 @@
 """Fused read-scan forward step — the framework's flagship device "model".
 
-One jitted function per length bucket turns a padded read batch into all
-per-read scan results needed by the scanfastq pipeline (reference jar
-WorkerReadscanner / PolyATSearcher / AdapterTSOanalyzer behavior, spec at
-/root/reference/Jar/config.xml:93-184 and README.md:88-110,396-459):
+TPU-native design: every read is spliced into a FIXED-SHAPE composite of its
+first/last EDGE bases (read ends are where all stranding evidence lives), so
+the whole edge scan compiles once for [B, 2*EDGE] regardless of read length.
+A separate bucketed internal scan handles chimera-split detection on long
+reads only.
+
+The edge scan turns a padded read batch into all per-read results needed by
+the scanfastq pipeline (reference jar WorkerReadscanner / PolyATSearcher /
+AdapterTSOanalyzer behavior, spec at /root/reference/Jar/config.xml:93-184
+and README.md:88-110,396-459):
 
   * strand call: polyA near the 3' end (FWD) vs polyT near the 5' start (REV)
   * adapter search downstream of the polyA/T, with the window
@@ -11,13 +17,18 @@ WorkerReadscanner / PolyATSearcher / AdapterTSOanalyzer behavior, spec at
     sense orientation — one geometry for both strands
   * barcode search window extraction (sense orientation, +/- pad)
   * TSO search in the stranded 5' window
-  * internal polyA/T sites (chimera-split candidates, up to K per read)
-  * mean read QV
+  * mean read / BC-region / X-region QV
+
+The internal scan finds up to K internal polyA/T runs per read and confirms
+each with a complete-adapter search (reference ChimeraFindernew), returning
+split positions for chimeric reads.
 
 Coordinates returned are in the STRANDED read (reference convention: PS =
 first A after cDNA, PE = last A of polyA, AE = last adapter base before the
 cell BC; /root/reference/Jar/config.xml:40-53). For REV reads the stranded
-read is revcomp(original); positions map via p -> len-1-p.
+read is revcomp(original); positions map via p -> len-1-p. Composite
+coordinates are remapped to true read coordinates on the host
+(`remap_composite`).
 """
 from __future__ import annotations
 
@@ -32,6 +43,8 @@ from sicelore_tpu.utils import dna
 from sicelore_tpu.utils.config import PipelineConfig
 
 BIG = 10**9
+EDGE = 304  # bases kept from each read end in the composite (>= polyA window
+            # 150 + adapter window 110 + slack)
 
 
 def gather_window(seqs: jax.Array, lens: jax.Array, starts: jax.Array, W: int,
@@ -78,8 +91,7 @@ def internal_sites(seqs: jax.Array, lens: jax.Array, *, base: int, k: int,
     """Up to `max_sites` disjoint internal polyA/T runs (chimera candidates).
 
     Returns (count [B] int32, starts [B, max_sites] int32 window-start
-    positions, -1 padded). Runs closer than k to a previous site are masked.
-    Reference: ChimeraFindernew internal pA/pT search,
+    positions, -1 padded). Reference: ChimeraFindernew internal pA/pT search,
     config.xml:97-105 (internalpATlength/internalFractionATInPolyAT).
     """
     B, L = seqs.shape
@@ -99,21 +111,20 @@ def internal_sites(seqs: jax.Array, lens: jax.Array, *, base: int, k: int,
         j = jnp.min(jnp.where(ok, pos, BIG), axis=1)  # first passing window
         found = j < BIG
         starts.append(jnp.where(found, j, -1).astype(jnp.int32))
-        # mask this run: all passing windows within k of j (same run) plus the
-        # contiguous passing stretch starting at j
-        # conservative: mask windows in [j, j + 2k)
+        # mask the contiguous run starting at j (conservatively [j, j + 2k))
         mask = (pos >= j[:, None]) & (pos < (j[:, None] + 2 * k))
         ok = ok & ~mask
     st = jnp.stack(starts, axis=1)
     return jnp.sum(st >= 0, axis=1).astype(jnp.int32), st
 
 
-def make_scan_fn(cfg: PipelineConfig):
-    """Build the jitted scan forward function for config `cfg`.
+def make_edge_scan_fn(cfg: PipelineConfig):
+    """Build the jitted edge-scan function (fixed [B, 2*EDGE] shape).
 
     Returns scan_fn(seqs, quals, lens, peq_ad, peq_adc, peq_tso) -> dict.
     peq_* are [4, 1] uint32 single-pattern bitmasks (adapter short form,
-    adapter complete, TSO) in SENSE orientation.
+    adapter complete, TSO) in SENSE orientation. `lens` are composite
+    lengths (min(true_len, 2*EDGE)).
     """
     p = cfg.polyat
     a = cfg.adapter3p
@@ -148,8 +159,11 @@ def make_scan_fn(cfg: PipelineConfig):
         w_fwd = gather_window(seqs, lens, fwd_pe + 1, awin, rc=True)
         # REV: window before polyT start -> [head adapter BC UMI]
         w_rev = gather_window(seqs, lens, rev_ts - awin, awin, rc=False)
-        ed_f, pos_f = scan.adapter_search(w_fwd, peq_ad, m_ad)
-        ed_r, pos_r = scan.adapter_search(w_rev, peq_ad, m_ad)
+        # one stacked sweep for both hypotheses
+        ed2, pos2 = scan.adapter_search(
+            jnp.concatenate([w_fwd, w_rev], axis=0), peq_ad, m_ad)
+        ed_f, ed_r = ed2[:B], ed2[B:]
+        pos_f, pos_r = pos2[:B], pos2[B:]
         ed_f = jnp.where(fwd_found, ed_f, BIG)
         ed_r = jnp.where(rev_found, ed_r, BIG)
 
@@ -160,10 +174,9 @@ def make_scan_fn(cfg: PipelineConfig):
         ok_r = rev_found & (ed_r <= a.max_needleman_mismatches)
         is_fwd = ok_f & (~ok_r | (ed_f <= ed_r))
         stranded = ok_f | ok_r
-        # fallback orientation for unstranded reads with only polyA/T evidence
         is_fwd = jnp.where(stranded, is_fwd, fwd_found)
 
-        # stranded-coordinate results
+        # stranded-coordinate results (composite coords; host remaps)
         ps = jnp.where(is_fwd, fwd_ps, lens - 1 - rev_te)
         pe = jnp.where(is_fwd, fwd_pe, lens - 1 - rev_ts)
         has_pat = jnp.where(is_fwd, fwd_found, rev_found)
@@ -173,8 +186,8 @@ def make_scan_fn(cfg: PipelineConfig):
         # AE: last adapter base before the BC, stranded coords.
         # FWD window w' maps w'[i] <- read[pe + awin - i]; adapter match end
         # at i_e -> AE = pe + awin - i_e (first rcAdapter base in read).
-        # REV window starts at rev_ts - awin in original coords; stranded
-        # pos of orig q is len-1-q -> AE = len-1-(rev_ts-awin+i_e).
+        # REV window starts at rev_ts - awin; stranded pos of orig q is
+        # len-1-q -> AE = len-1-(rev_ts-awin+i_e).
         ae = jnp.where(is_fwd, fwd_pe + awin - pos_f,
                        lens - 1 - (rev_ts - awin + pos_r))
         ad_ed = jnp.where(is_fwd, ed_f, ed_r)
@@ -191,7 +204,6 @@ def make_scan_fn(cfg: PipelineConfig):
             w_used, jnp.asarray(dna.encode(a.sequence_complete)), m_adc)
 
         # ---- BC window (sense orientation) right after the adapter end ----
-        # in-window the BC starts at ad_pos_local+1; extract with +/- pad
         bc_start_local = ad_pos_local + 1 - pad
         bc_windows = gather_window(w_used, jnp.full((B,), awin, jnp.int32),
                                    bc_start_local, bc_win, rc=False)
@@ -204,20 +216,9 @@ def make_scan_fn(cfg: PipelineConfig):
         tso_found = tso_ed <= t.max_needleman_mismatches
         tso_end = jnp.where(tso_found, tso_pos + (t.offset_tso_end - 1), -1)
 
-        # ---- internal polyA/T sites (chimera candidates) ----
-        mc_int = scan.min_count_for(p.internal_pat_length,
-                                    p.internal_fraction_at_in_polyat)
-        nA, sA = internal_sites(seqs, lens, base=dna.A,
-                                k=p.internal_pat_length, min_count=mc_int,
-                                edge=p.window_search_for_polya)
-        nT, sT = internal_sites(seqs, lens, base=dna.T,
-                                k=p.internal_pat_length, min_count=mc_int,
-                                edge=p.window_search_for_polya)
-
         # ---- QVs ----
         read_qv = _mean_qv(quals, lens)
-        # X region: stranded [ae - x_len + nbases, ae + nbases - 1];
-        # original coords for FWD == stranded; for REV mirror.
+        # X region: stranded [ae - x_len + nbases, ae + nbases - 1]
         xs_str = ae - (x_len - nbases)
         xe_str = ae + nbases - 1
         xs = jnp.where(is_fwd, xs_str, lens - 1 - xe_str)
@@ -236,8 +237,6 @@ def make_scan_fn(cfg: PipelineConfig):
             "adapter_run": ad_runs,
             "bc_windows": bc_windows,
             "tso_end": tso_end, "tso_ed": tso_ed,
-            "n_internal_a": nA, "internal_a": sA,
-            "n_internal_t": nT, "internal_t": sT,
             "read_qv": read_qv, "x_qv": x_qv, "bc_qv": bc_qv,
             "x_start": xs_str, "x_end": xe_str,
         }
@@ -245,8 +244,98 @@ def make_scan_fn(cfg: PipelineConfig):
     return scan_fn
 
 
+def make_internal_scan_fn(cfg: PipelineConfig, max_sites: int = 4):
+    """Build the jitted internal/chimera scan (bucketed full-length shapes).
+
+    Returns fn(seqs, lens, peq_adc) -> dict with per-site confirmation EDs
+    and split positions (part 2 starts at split). Reference:
+    ChimeraFindernew (`$SplitPosition$SplitReason`), README.md:90-91,452-457.
+    """
+    p = cfg.polyat
+    m_adc = len(cfg.adapter3p.sequence_complete)
+    k = p.internal_pat_length
+    mc = scan.min_count_for(k, p.internal_fraction_at_in_polyat)
+    edge = p.window_search_for_polya
+    Wi = 160  # covers polyA run tail + UMI + BC + complete adapter
+
+    @jax.jit
+    def fn(seqs, lens, peq_adc):
+        B, L = seqs.shape
+        nA, sA = internal_sites(seqs, lens, base=dna.A, k=k, min_count=mc,
+                                edge=edge, max_sites=max_sites)
+        nT, sT = internal_sites(seqs, lens, base=dna.T, k=k, min_count=mc,
+                                edge=edge, max_sites=max_sites)
+        K = max_sites
+        rs = jnp.repeat(seqs, K, axis=0)
+        rl = jnp.repeat(lens, K)
+        # A-junction: ...cDNA1 polyA rcUMI rcBC rcAdapterC | cDNA2...
+        # confirm complete adapter (sense) in the rc window after run start.
+        a_wins = gather_window(rs, rl, sA.reshape(-1), Wi, rc=True)
+        a_ed, a_pos = scan.adapter_search(a_wins, peq_adc, m_adc)
+        a_ed = jnp.where(sA.reshape(-1) >= 0, a_ed, BIG).reshape(B, K)
+        # rc window w' of [s, s+Wi): w'[i] <-> read[s+Wi-1-i]; adapter sense
+        # end i_e -> orig first rcAdapterC base = s+Wi-1-i_e; cassette ends
+        # m_adc-1 later; part 2 starts after it.
+        a_split = (sA.reshape(-1) + Wi - 1 - a_pos + (m_adc - 1) + 1).reshape(B, K)
+        # T-junction: ...rc(cDNA1) | adapterC BC UMI polyT cDNA2... confirm
+        # complete adapter (sense) right before the polyT run.
+        t_wins = gather_window(rs, rl, sT.reshape(-1) - Wi, Wi, rc=False)
+        t_ed, t_pos = scan.adapter_search(t_wins, peq_adc, m_adc)
+        t_ed = jnp.where(sT.reshape(-1) >= 0, t_ed, BIG).reshape(B, K)
+        # adapter end at orig (sT-Wi)+i_e; cassette starts m_adc-1 earlier.
+        t_split = (sT.reshape(-1) - Wi + t_pos - (m_adc - 1)).reshape(B, K)
+        return {"n_internal_a": nA, "internal_a": sA,
+                "internal_a_ed": a_ed, "internal_a_split": a_split,
+                "n_internal_t": nT, "internal_t": sT,
+                "internal_t_ed": t_ed, "internal_t_split": t_split}
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Composite (edge-splice) encoding
+# ---------------------------------------------------------------------------
+
+def encode_composite(seqs: list[bytes], quals: list[bytes], edge: int = EDGE):
+    """Encode reads into fixed [B, 2*edge] composites (head + tail splice).
+
+    Reads longer than 2*edge keep their first and last `edge` bases; all
+    stranding evidence lives there (polyA window 150 + adapter window 110).
+    Returns (codes, qv, comp_lens, true_lens).
+    """
+    B, W = len(seqs), 2 * edge
+    codes = np.full((B, W), dna.PAD, dtype=np.int8)
+    qv = np.zeros((B, W), dtype=np.int8)
+    true_lens = np.fromiter((len(s) for s in seqs), dtype=np.int32, count=B)
+    comp_lens = np.minimum(true_lens, W)
+    for i, (s, q) in enumerate(zip(seqs, quals)):
+        if len(s) <= W:
+            codes[i, :len(s)] = dna.encode(s)
+            qv[i, :len(q)] = dna.phred_to_qual(q[:len(s)])
+        else:
+            codes[i, :edge] = dna.encode(s[:edge])
+            codes[i, edge:] = dna.encode(s[-edge:])
+            qv[i, :edge] = dna.phred_to_qual(q[:edge])
+            qv[i, edge:] = dna.phred_to_qual(q[-edge:])
+    return codes, qv, comp_lens, true_lens
+
+
+def remap_composite(pos: np.ndarray, true_lens: np.ndarray,
+                    edge: int = EDGE) -> np.ndarray:
+    """Map composite stranded coords back to true read coords.
+
+    For reads longer than 2*edge, composite positions >= edge belong to the
+    read tail: true = pos + (true_len - 2*edge). Negative positions pass
+    through (not-found sentinels).
+    """
+    W = 2 * edge
+    shift = np.maximum(true_lens - W, 0)
+    out = np.where((pos >= edge), pos + shift, pos)
+    return np.where(pos < 0, pos, out)
+
+
 class ReadScanModel:
-    """Host-side wrapper: owns pattern bitmasks + per-bucket-length jit cache."""
+    """Host-side wrapper: owns pattern bitmasks + the jitted scan fns."""
 
     def __init__(self, cfg: PipelineConfig | None = None):
         self.cfg = cfg or PipelineConfig()
@@ -255,7 +344,8 @@ class ReadScanModel:
         self.peq_adc = jnp.asarray(
             editdist.build_peq(dna.encode(a.sequence_complete)[None, :]))
         self.peq_tso = jnp.asarray(editdist.build_peq(dna.encode(t.sequence)[None, :]))
-        self._fn = make_scan_fn(self.cfg)
+        self._edge_fn = make_edge_scan_fn(self.cfg)
+        self._internal_fn = make_internal_scan_fn(self.cfg)
 
     @property
     def bc_window_width(self) -> int:
@@ -263,12 +353,45 @@ class ReadScanModel:
                 + 2 * self.cfg.readscanner.test_plus_minus_pos + 2)
 
     def __call__(self, seqs, quals, lens):
-        """seqs/quals [B, L] int8 (codes / phred), lens [B] int32 -> dict of
-        np.ndarray per-read results (see make_scan_fn)."""
-        out = self._fn(jnp.asarray(seqs), jnp.asarray(quals),
-                       jnp.asarray(lens, dtype=jnp.int32),
-                       self.peq_ad, self.peq_adc, self.peq_tso)
-        return {k: np.asarray(v) for k, v in out.items()}
+        """Edge scan on [B, L] int8 batches -> dict of np arrays.
+
+        B is padded up to a power-of-two bucket so every chunk size reuses
+        the same compiled executable (compiles are expensive on TPU)."""
+        B = len(lens)
+        Bp = bucket_length(max(B, 1), 256)
+        if Bp != B:
+            seqs = np.concatenate(
+                [seqs, np.full((Bp - B, seqs.shape[1]), dna.PAD, np.int8)])
+            quals = np.concatenate(
+                [quals, np.zeros((Bp - B, quals.shape[1]), np.int8)])
+            lens = np.concatenate([lens, np.zeros(Bp - B, np.int32)])
+        out = self._edge_fn(jnp.asarray(seqs), jnp.asarray(quals),
+                            jnp.asarray(lens, dtype=jnp.int32),
+                            self.peq_ad, self.peq_adc, self.peq_tso)
+        return {k: np.asarray(v)[:B] for k, v in out.items()}
+
+    def scan_reads(self, seqs: list[bytes], quals: list[bytes]):
+        """Composite edge scan of raw reads; coords remapped to true reads."""
+        codes, qv, comp_lens, true_lens = encode_composite(seqs, quals)
+        out = self(codes, qv, comp_lens)
+        for key in ("ps", "pe", "ae", "x_start", "x_end"):
+            out[key] = remap_composite(out[key], true_lens)
+        out["true_lens"] = true_lens
+        return out
+
+    def scan_internal(self, seqs, lens):
+        """Internal/chimera scan on full-length [B, L] batches (B padded to
+        a power-of-two bucket to bound compile count)."""
+        B = len(lens)
+        Bp = bucket_length(max(B, 1), 8)
+        if Bp != B:
+            seqs = np.concatenate(
+                [seqs, np.full((Bp - B, seqs.shape[1]), dna.PAD, np.int8)])
+            lens = np.concatenate([lens, np.zeros(Bp - B, np.int32)])
+        out = self._internal_fn(jnp.asarray(seqs),
+                                jnp.asarray(lens, dtype=jnp.int32),
+                                self.peq_adc)
+        return {k: np.asarray(v)[:B] for k, v in out.items()}
 
 
 def bucket_length(n: int, minimum: int = 256) -> int:

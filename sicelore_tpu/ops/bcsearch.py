@@ -165,7 +165,10 @@ def bc_search(windows: np.ndarray, patterns_peq: np.ndarray, n_patterns: int,
         use_pallas = _on_tpu()
     if use_pallas:
         bt, nt = 256, 512
-        Bp = _round_up(max(B, 1), bt)
+        # power-of-two batch bucket: bounds the number of compiled shapes
+        Bp = bt
+        while Bp < B:
+            Bp *= 2
         Np = _round_up(max(n_patterns, 1), nt)
         wins = np.full((Bp, W), 5, dtype=np.int32)  # PAD
         wins[:B] = windows

@@ -1,0 +1,418 @@
+"""scanfastq — Step 1: stranding, chimera split, two-pass cell-BC assignment.
+
+TPU-native reimplementation of the reference binary jar's readscanner
+(com.rw.nanoporereadscanner.*; behavior spec: /root/reference/README.md:88-110,
+380-459 and Jar/config.xml:9-184). Pipeline:
+
+  PASS 1 (used-barcode list; reference UsedCellBCListGenerator):
+    edge-scan every read; high-quality reads (mean read/BC QV, consecutive
+    complete-adapter matches, min length) with an EXACT whitelist match at
+    the adapter-predicted position are counted per whitelist barcode.
+    Barcodes one substitution apart with a >= minCountFold count imbalance
+    are merged (equal-length Levenshtein 1 == Hamming 1); barcodes
+    cellsWithReadsnFoldBelowMaxToKeep-fold below the max are dropped.
+    -> used-BC list + ranks + BarcodeList.tsv.
+
+  PASS 2 (assignment; reference WorkerReadscanner Pass.SECOND):
+    long reads get an internal/chimera scan; reads with exactly one
+    adapter-confirmed internal junction are split (part 2 renamed
+    `<name>sp2`), multi-chimeric reads are discarded. All (sub)reads are
+    edge-scanned; stranded reads' BC windows sweep the used list with the
+    Myers Pallas kernel; assignment accepted when best ED <= dynamic
+    max ED (bcMaxEditDistances table) and strictly better than second best.
+    -> passed/ + failed/ fastqs (read-name metadata), BarcodesAssigned.tsv,
+    scanner stats.
+
+Negative controls: random_barcode replaces each read's BC window with random
+bases before the sweep (reference -e/--randomBarcode, README.md:307-312) to
+measure the false assignment rate.
+"""
+from __future__ import annotations
+
+import gzip
+import json
+from collections import defaultdict
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from sicelore_tpu.io import fastq
+from sicelore_tpu.models import readscan
+from sicelore_tpu.ops import bcsearch, editdist
+from sicelore_tpu.pipeline import readname
+from sicelore_tpu.utils import dna
+from sicelore_tpu.utils.config import DynamicEDTable, PipelineConfig
+
+BIG = 10**9
+
+
+def load_whitelist(path: str | Path) -> np.ndarray:
+    """10x whitelist -> sorted packed uint32 array (one 16-mer per line,
+    optional -1 suffix, optionally gzipped). Reference config.xml:37."""
+    opener = gzip.open if str(path).endswith(".gz") else open
+    bcs = []
+    with opener(str(path), "rb") as fh:
+        for line in fh:
+            s = line.strip().split(b"-")[0]
+            if s:
+                bcs.append(s)
+    codes, _ = dna.encode_batch(bcs, 16)
+    packed = dna.pack_kmers(codes, 16)
+    return np.unique(packed[dna.valid_kmers(codes)])
+
+
+@dataclass
+class ScanStats:
+    total_reads: int = 0
+    too_short: int = 0
+    stranded: int = 0
+    fwd: int = 0
+    rev: int = 0
+    split_chimeric: int = 0
+    multi_chimeric_discarded: int = 0
+    bc_assigned: int = 0
+    bc_ambiguous: int = 0
+    unassigned: int = 0
+    pass1_reads_used: int = 0
+    ed_hist: dict = field(default_factory=lambda: defaultdict(int))
+
+    def to_json(self) -> dict:
+        d = dict(self.__dict__)
+        d["ed_hist"] = dict(self.ed_hist)
+        return d
+
+
+class ScanFastqPipeline:
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 whitelist: np.ndarray | list[str] | None = None,
+                 bc_max_ed_table: DynamicEDTable | None = None,
+                 error_percent: int = 1,
+                 random_barcode: bool = False,
+                 chunk_size: int = 50_000,
+                 seed: int = 0,
+                 user_max_ed: int | None = None,
+                 known_cells: bool = False,
+                 compress: bool = False):
+        self.cfg = cfg or PipelineConfig()
+        self.model = readscan.ReadScanModel(self.cfg)
+        if whitelist is None:
+            raise ValueError("whitelist required (10x barcode list)")
+        if isinstance(whitelist, (list, tuple)):
+            codes, _ = dna.encode_batch([w.encode() if isinstance(w, str) else w
+                                         for w in whitelist], 16)
+            self.whitelist = np.unique(dna.pack_kmers(codes, 16))
+        else:
+            self.whitelist = np.asarray(whitelist)
+        self.ed_table = bc_max_ed_table
+        self.error_percent = error_percent
+        self.random_barcode = random_barcode
+        self.chunk_size = chunk_size
+        self.user_max_ed = user_max_ed
+        self.known_cells = known_cells  # -g/--cellRangerBCs: skip pass 1
+        self.compress = compress
+        self.rng = np.random.default_rng(seed)
+        self.stats = ScanStats()
+        # pass-1 state
+        self.wl_counts = np.zeros(len(self.whitelist), dtype=np.int64)
+        # used-list state (set by build_used_list)
+        self.used_packed: np.ndarray | None = None
+        self.used_strs: list[str] = []
+        self.used_counts: np.ndarray | None = None
+        self.used_peq: np.ndarray | None = None
+        self.ranks: np.ndarray | None = None
+        # pass-2 per-barcode assignment histograms {bc_idx: [n_ed0, n_ed1, ...]}
+        self.assigned_hist: dict[int, np.ndarray] = {}
+
+    # ------------------------------------------------------------------
+    # PASS 1
+    # ------------------------------------------------------------------
+
+    def pass1_chunk(self, chunk: fastq.FastqChunk):
+        r = self.cfg.readscanner
+        bc_len = self.cfg.barcodes.cell_bc_length
+        pad = r.test_plus_minus_pos
+        out = self.model.scan_reads(chunk.seqs, chunk.quals)
+        ok = (out["stranded"]
+              & (out["true_lens"] >= r.min_read_length)
+              & (out["adapter_run"] >= r.min_adapter3p_matches)
+              & (out["read_qv"] >= r.min_mean_read_qv)
+              & (out["bc_qv"] >= r.min_mean_bc_qv))
+        if not ok.any():
+            return
+        bc_codes = out["bc_windows"][ok][:, pad:pad + bc_len]
+        valid = dna.valid_kmers(bc_codes)
+        packed = dna.pack_kmers(bc_codes[valid], 16)
+        idx = np.searchsorted(self.whitelist, packed)
+        idx = np.clip(idx, 0, len(self.whitelist) - 1)
+        hits = self.whitelist[idx] == packed
+        np.add.at(self.wl_counts, idx[hits], 1)
+        self.stats.pass1_reads_used += int(hits.sum())
+
+    def build_used_list(self):
+        """Merge/filter pass-1 counts -> used-BC list + ranks.
+
+        Reference semantics (README.md:388): a barcode ED1 away from another
+        with >= minCountFold more reads is dropped (its reads will be
+        assigned to the big one by the ED search); barcodes `cellsWith...`
+        -fold below the max count are dropped. Equal-length Levenshtein 1 is
+        exactly Hamming 1, so ED1 neighbors are the 3*16 one-substitution
+        variants in packed 2-bit space.
+        """
+        r = self.cfg.readscanner
+        nz = np.nonzero(self.wl_counts)[0]
+        packed = self.whitelist[nz]
+        counts = self.wl_counts[nz]
+        # ED1 merge via one-substitution neighborhood in packed space
+        order = {int(w): i for i, w in enumerate(packed)}
+        drop = np.zeros(len(packed), dtype=bool)
+        fold = r.min_count_fold
+        self.neighbor_info: dict[int, list[tuple[int, int]]] = defaultdict(list)
+        for i, w in enumerate(packed):
+            w = int(w)
+            for pos in range(16):
+                for delta in (1, 2, 3):
+                    nb = w ^ (delta << (2 * pos))
+                    j = order.get(nb)
+                    if j is not None and j != i:
+                        self.neighbor_info[i].append((j, int(counts[j])))
+                        if counts[j] >= fold * counts[i]:
+                            drop[i] = True
+        # drop barcodes far below the max
+        max_count = counts.max() if len(counts) else 0
+        drop |= counts * r.cells_with_reads_nfold_below_max_to_keep < max_count
+        keep = ~drop
+        kept_packed = packed[keep]
+        kept_counts = counts[keep]
+        order_desc = np.argsort(-kept_counts, kind="stable")
+        self.used_packed = kept_packed[order_desc]
+        self.used_counts = kept_counts[order_desc]
+        self.used_strs = [dna.unpack_kmer(int(w), 16) for w in self.used_packed]
+        # rank 1 = most reads
+        self.ranks = np.arange(1, len(self.used_packed) + 1)
+        pats, _ = dna.encode_batch([s.encode() for s in self.used_strs], 16)
+        self.used_peq = editdist.build_peq(pats) if len(pats) else None
+        # keep full pass-1 table for BarcodeList.tsv
+        self._pass1_packed, self._pass1_counts, self._pass1_keep = packed, counts, keep
+
+    def use_fixed_list(self):
+        """Use the provided barcode list directly as the used list
+        (reference -g/--cellRangerBCs: no pass-1 discovery)."""
+        self.used_packed = np.asarray(self.whitelist)
+        self.used_counts = np.zeros(len(self.used_packed), dtype=np.int64)
+        self.used_strs = [dna.unpack_kmer(int(w), 16) for w in self.used_packed]
+        self.ranks = np.arange(1, len(self.used_packed) + 1)
+        pats, _ = dna.encode_batch([s.encode() for s in self.used_strs], 16)
+        self.used_peq = editdist.build_peq(pats) if len(pats) else None
+
+    def write_barcode_list(self, path: str | Path):
+        """BarcodeList.tsv: bc, exact-match count, ED1 neighbors(count)."""
+        with open(path, "w") as fh:
+            for i in np.argsort(-self._pass1_counts, kind="stable"):
+                if not self._pass1_keep[i]:
+                    continue
+                nbs = " ".join(
+                    f"{dna.unpack_kmer(int(self._pass1_packed[j]), 16)}({c})"
+                    for j, c in self.neighbor_info.get(i, []))
+                fh.write(f"{dna.unpack_kmer(int(self._pass1_packed[i]), 16)}\t"
+                         f"{self._pass1_counts[i]}\t{nbs}\n")
+
+    # ------------------------------------------------------------------
+    # PASS 2
+    # ------------------------------------------------------------------
+
+    def max_ed(self) -> int:
+        """User bcEditDistance capped by the dynamic table
+        (reference: -b/--bcEditDistance + bcMaxEditDistances.xml)."""
+        n = len(self.used_packed)
+        if self.ed_table is not None:
+            cap = self.ed_table.max_ed(self.cfg.barcodes.cell_bc_length,
+                                       self.error_percent, n)
+        else:
+            # built-in default = reference bcMaxEditDistances.xml @1% error
+            cap = 1
+            for ed, c in ((4, 83), (3, 1127), (2, 26362), (1, 100000)):
+                if n <= c:
+                    cap = ed
+                    break
+        return min(self.user_max_ed, cap) if self.user_max_ed is not None else cap
+
+    def split_chimeras(self, chunk: fastq.FastqChunk):
+        """Detect + split chimeric reads; returns a new chunk.
+
+        Split parts keep the original name (part 1) / get `sp2`, `sp3`...
+        (later parts). Reads with more confirmed junctions than split
+        positions allowed are discarded (reference
+        MULTI_CHIMERIC_READS_DISCARDED)."""
+        a = self.cfg.adapter3p
+        edge = self.cfg.polyat.window_search_for_polya
+        min_len = 2 * edge + self.cfg.polyat.internal_pat_length
+        long_idx = [i for i, s in enumerate(chunk.seqs) if len(s) > min_len]
+        names, comments, seqs, quals = [], [], [], []
+        splits: dict[int, list[int]] = {}
+        discard: set[int] = set()
+        if long_idx:
+            # bucket long reads by length for the internal scan
+            by_bucket: dict[int, list[int]] = defaultdict(list)
+            for i in long_idx:
+                by_bucket[readscan.bucket_length(len(chunk.seqs[i]), 1024)].append(i)
+            for L, idxs in by_bucket.items():
+                sub = [chunk.seqs[i][:L] for i in idxs]
+                codes, lens = dna.encode_batch(sub, L)
+                out = self.model.scan_internal(codes, lens)
+                edmax = a.max_complete_seq_needleman_mismatches
+                for row, i in enumerate(idxs):
+                    pos = []
+                    for k in range(out["internal_a"].shape[1]):
+                        if (out["internal_a"][row, k] >= 0
+                                and out["internal_a_ed"][row, k] <= edmax):
+                            pos.append(int(out["internal_a_split"][row, k]))
+                        if (out["internal_t"][row, k] >= 0
+                                and out["internal_t_ed"][row, k] <= edmax):
+                            pos.append(int(out["internal_t_split"][row, k]))
+                    pos = sorted(p for p in pos
+                                 if 50 < p < len(chunk.seqs[i]) - 50)
+                    if len(pos) == 1:
+                        splits[i] = pos
+                    elif len(pos) > 1:
+                        discard.add(i)
+        for i in range(len(chunk)):
+            if i in discard:
+                self.stats.multi_chimeric_discarded += 1
+                continue
+            if i in splits:
+                self.stats.split_chimeric += 1
+                cuts = [0] + splits[i] + [len(chunk.seqs[i])]
+                for part in range(len(cuts) - 1):
+                    nm = chunk.names[i] + (b"" if part == 0
+                                           else b"sp%d" % (part + 1))
+                    names.append(nm)
+                    comments.append(chunk.comments[i])
+                    seqs.append(chunk.seqs[i][cuts[part]:cuts[part + 1]])
+                    quals.append(chunk.quals[i][cuts[part]:cuts[part + 1]])
+            else:
+                names.append(chunk.names[i])
+                comments.append(chunk.comments[i])
+                seqs.append(chunk.seqs[i])
+                quals.append(chunk.quals[i])
+        return fastq.FastqChunk(names, comments, seqs, quals)
+
+    def pass2_chunk(self, chunk: fastq.FastqChunk,
+                    passed: fastq.FastqWriter, failed: fastq.FastqWriter):
+        r = self.cfg.readscanner
+        bc_len = self.cfg.barcodes.cell_bc_length
+        self.stats.total_reads += len(chunk)
+        chunk = self.split_chimeras(chunk)
+        out = self.model.scan_reads(chunk.seqs, chunk.quals)
+        n = len(chunk)
+        too_short = out["true_lens"] < r.min_read_length
+        stranded = out["stranded"] & ~too_short
+        self.stats.too_short += int(too_short.sum())
+        self.stats.stranded += int(stranded.sum())
+        self.stats.fwd += int((stranded & out["is_fwd"]).sum())
+        self.stats.rev += int((stranded & ~out["is_fwd"]).sum())
+
+        # BC sweep for stranded reads
+        sel = np.nonzero(stranded)[0]
+        assigned = np.zeros(n, dtype=bool)
+        bc_idx = np.full(n, -1, dtype=np.int64)
+        bc_ed = np.full(n, BIG, dtype=np.int64)
+        bc_ed2 = np.full(n, editdist.INT_MAX, dtype=np.int64)
+        max_ed = self.max_ed()
+        if len(sel) and self.used_peq is not None:
+            wins = out["bc_windows"][sel]
+            if self.random_barcode:
+                wins = self.rng.integers(0, 4, wins.shape).astype(np.int8)
+            res = bcsearch.bc_search(wins.astype(np.int32), self.used_peq,
+                                     len(self.used_strs), bc_len)
+            ok = (res["ed"] <= max_ed) & (res["ed2"] > res["ed"])
+            amb = (res["ed"] <= max_ed) & ~ok
+            assigned[sel] = ok
+            bc_idx[sel] = res["idx"]
+            bc_ed[sel] = res["ed"]
+            bc_ed2[sel] = res["ed2"]
+            self.stats.bc_ambiguous += int(amb.sum())
+
+        # outputs
+        for i in range(n):
+            name, seq, qual = chunk.names[i], chunk.seqs[i], chunk.quals[i]
+            if not assigned[i]:
+                self.stats.unassigned += 1
+                failed.write(name, seq, qual, chunk.comments[i])
+                continue
+            self.stats.bc_assigned += 1
+            ed = int(bc_ed[i])
+            self.stats.ed_hist[ed] += 1
+            bi = int(bc_idx[i])
+            hist = self.assigned_hist.setdefault(bi, np.zeros(8, dtype=np.int64))
+            hist[min(ed, 7)] += 1
+            is_fwd = bool(out["is_fwd"][i])
+            L = int(out["true_lens"][i])
+            ae = int(out["ae"][i])
+            # stranded sequence/qual for metadata + output
+            if is_fwd:
+                sseq, squal = seq, qual
+            else:
+                sseq = dna.revcomp_bytes(seq)
+                squal = qual[::-1]
+            # x_start/x_end already remapped to true stranded coords
+            xs_t, xe_t = int(out["x_start"][i]), int(out["x_end"][i])
+            x_seq = sseq[max(xs_t, 0):xe_t + 1]
+            nm = readname.encode_name(
+                name, is_fwd=is_fwd,
+                ps=int(out["ps"][i]), pe=int(out["pe"][i]), ae=ae,
+                bc=self.used_strs[bi], ed=ed,
+                ed_sec=int(bc_ed2[i]),
+                bc_start=ae - 1, bc_end=ae - bc_len,
+                rank=int(self.ranks[bi]),
+                x_seq=x_seq, x_qv=float(out["x_qv"][i]),
+                tso_end=int(out["tso_end"][i]) if out["tso_end"][i] >= 0 else None,
+                split_part=0)
+            passed.write(nm, sseq, squal, chunk.comments[i])
+
+    # ------------------------------------------------------------------
+
+    def write_barcodes_assigned(self, path: str | Path):
+        """BarcodesAssigned.tsv: bc, n_reads, reads per ED (README.md:392)."""
+        max_ed_seen = 4
+        with open(path, "w") as fh:
+            fh.write("barcode\tnReads\t" +
+                     "\t".join(f"ED{e}" for e in range(max_ed_seen + 1)) + "\n")
+            items = sorted(self.assigned_hist.items(),
+                           key=lambda kv: -int(kv[1].sum()))
+            for bi, hist in items:
+                fh.write(f"{self.used_strs[bi]}\t{int(hist.sum())}\t"
+                         + "\t".join(str(int(hist[e]))
+                                     for e in range(max_ed_seen + 1)) + "\n")
+
+    def run(self, inputs: list[str | Path], out_dir: str | Path):
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        files = []
+        for p in inputs:
+            p = Path(p)
+            files.extend(fastq.find_fastq_files(p) if p.is_dir() else [p])
+        # PASS 1 (skipped when a known cell-BC list was provided, reference
+        # -g/--cellRangerBCs behavior)
+        if self.known_cells:
+            self.use_fixed_list()
+        else:
+            for f in files:
+                for chunk in fastq.read_fastq(f, self.chunk_size):
+                    self.pass1_chunk(chunk)
+            self.build_used_list()
+            self.write_barcode_list(out_dir / "BarcodeList.tsv")
+        # PASS 2
+        ext = ".fastq.gz" if self.compress else ".fastq"
+        for f in files:
+            stem = f.name
+            for suf in (".gz", ".fastq", ".fq"):
+                stem = stem[:-len(suf)] if stem.endswith(suf) else stem
+            with fastq.FastqWriter(out_dir / "passed" / f"{stem}FWD{ext}") as pw, \
+                 fastq.FastqWriter(out_dir / "failed" / f"{stem}FAILED{ext}") as fw:
+                for chunk in fastq.read_fastq(f, self.chunk_size):
+                    self.pass2_chunk(chunk, pw, fw)
+        self.write_barcodes_assigned(out_dir / "BarcodesAssigned.tsv")
+        with open(out_dir / "scanner_stats.json", "w") as fh:
+            json.dump(self.stats.to_json(), fh, indent=1)
+        return self.stats

@@ -59,6 +59,14 @@ def revcomp_str(seq: str) -> str:
     return decode(revcomp(encode(seq)))
 
 
+_COMP_BYTES = bytes.maketrans(b"ACGTacgtNn", b"TGCAtgcaNn")
+
+
+def revcomp_bytes(seq: bytes) -> bytes:
+    """Reverse-complement an ASCII sequence (host fast path for writers)."""
+    return seq.translate(_COMP_BYTES)[::-1]
+
+
 def pack_kmers(codes: np.ndarray, k: int = 16) -> np.ndarray:
     """Pack [..., k] int8 codes into uint32/uint64 2-bit words (A=0..T=3).
 

@@ -102,8 +102,33 @@ def test_internal_sites_chimera(model):
     rng = np.random.default_rng(5)
     wl = synth.make_whitelist(rng, 4)
     chim = synth.make_chimera(rng, wl[0], wl[1], cdna_len=400)
-    normal = synth.make_read(rng, wl[2], cdna_len=400)
-    out, _ = _scan(model, [chim, normal])
-    # chimeric read: internal polyA (molecule 1's tail) away from edges
+    normal = synth.make_read(rng, wl[2], cdna_len=900)
+    seqs, quals, lens = synth.reads_to_batch(
+        [chim, normal], bucket_length(len(chim["seq"])))
+    out = model.scan_internal(seqs, lens)
+    # chimeric read: internal polyA (molecule 1's tail) away from edges,
+    # confirmed by a complete-adapter match in the junction cassette
     assert int(out["n_internal_a"][0]) >= 1
+    assert int(out["internal_a_ed"][0, 0]) <= 5
     assert int(out["n_internal_a"][1]) == 0
+    # split position: just after molecule 1's cassette = len(read1)
+    len1 = len(synth.TSO) + 400 + 20 + 12 + 16 + 22
+    assert abs(int(out["internal_a_split"][0, 0]) - len1) <= 3
+
+
+def test_composite_long_read_remap(model):
+    """A long read (> 2*EDGE) scanned via composite must report true coords."""
+    rng = np.random.default_rng(6)
+    bc = synth.random_seq(rng, 16)
+    r = synth.make_read(rng, bc, umi="ACGTACGTACGC", cdna_len=3000,
+                        polya_len=18)
+    out = model.scan_reads([r["seq"]], [r["qual"]])
+    ae = int(out["ae"][0])
+    assert bool(out["stranded"][0]) and bool(out["is_fwd"][0])
+    assert ae == 16 + 3000 + 18 + 12 + 16
+    # REV long read too
+    r2 = synth.make_read(rng, bc, umi="ACGTACGTACGC", cdna_len=2500,
+                         polya_len=20, reverse=True)
+    out2 = model.scan_reads([r2["seq"]], [r2["qual"]])
+    assert bool(out2["stranded"][0]) and not bool(out2["is_fwd"][0])
+    assert int(out2["ae"][0]) == 16 + 2500 + 20 + 12 + 16
