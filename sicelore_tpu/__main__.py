@@ -38,6 +38,38 @@ def _add_scanfastq(sub):
     return p
 
 
+def _add_isoformmatrix(sub):
+    p = sub.add_parser("isoformmatrix", help="cell x isoform/gene/junction "
+                       "UMI matrices (reference IsoformMatrix)")
+    p.add_argument("-I", "--INPUT", required=True, help="BC/U8/GE-tagged BAM")
+    p.add_argument("-R", "--REFFLAT", required=True)
+    p.add_argument("-C", "--CSV", required=True, help="cell barcode csv")
+    p.add_argument("-O", "--OUTDIR", required=True)
+    p.add_argument("-P", "--PREFIX", default="sicelore")
+    p.add_argument("--DELTA", type=int, default=2)
+    p.add_argument("--METHOD", default="STRICT")
+    p.add_argument("--AMBIGUOUS_ASSIGN", action="store_true")
+    p.add_argument("--MAPQV0", action="store_true")
+    p.add_argument("--ISOBAM", action="store_true")
+    p.add_argument("--TOBULK", action="store_true")
+    return p
+
+
+def cmd_isoformmatrix(args) -> int:
+    from sicelore_tpu.pipeline.isoform import isoform_matrix
+
+    log = isoform_matrix(args.INPUT, args.REFFLAT, args.CSV, args.OUTDIR,
+                         prefix=args.PREFIX, delta=args.DELTA,
+                         method=args.METHOD,
+                         ambiguous_assign=args.AMBIGUOUS_ASSIGN,
+                         mapqv0=args.MAPQV0, isobam=args.ISOBAM,
+                         tobulk=args.TOBULK)
+    print(f"isoformmatrix done: {log['molecules']} molecules, "
+          f"{log['matrix_isoforms']} isoform rows, "
+          f"{log['isoform_def']} defined / {log['isoform_undef']} undef")
+    return 0
+
+
 def cmd_scanfastq(args) -> int:
     import numpy as np
 
@@ -75,9 +107,12 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="sicelore_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
     _add_scanfastq(sub)
+    _add_isoformmatrix(sub)
     args = ap.parse_args(argv)
     if args.cmd == "scanfastq":
         return cmd_scanfastq(args)
+    if args.cmd == "isoformmatrix":
+        return cmd_isoformmatrix(args)
     ap.error(f"unknown command {args.cmd}")
     return 2
 

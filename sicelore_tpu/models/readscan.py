@@ -43,6 +43,7 @@ from sicelore_tpu.utils import dna
 from sicelore_tpu.utils.config import PipelineConfig
 
 BIG = 10**9
+bcsearch_BIG_MIN = 2**30  # lanes masked by the sweep kernel (ops.bcsearch.BIG)
 EDGE = 304  # bases kept from each read end in the composite (>= polyA window
             # 150 + adapter window 110 + slack)
 
@@ -244,6 +245,53 @@ def make_edge_scan_fn(cfg: PipelineConfig):
     return scan_fn
 
 
+# Edge-scan meta rows: everything except bc_windows packs into one int32
+# matrix so a remote-device fetch is ONE transfer, not 17 (each d2h RPC costs
+# a network round trip through the TPU tunnel). QVs are stored as round(10*x)
+# — the reference itself only ever prints one decimal (Q=%.1f).
+EDGE_META_KEYS = (
+    "is_fwd", "stranded", "has_polyat", "ps", "pe", "ae", "adapter_ed",
+    "adapter_complete_ed", "adapter_run", "tso_end", "tso_ed",
+    "read_qv", "x_qv", "bc_qv", "x_start", "x_end")
+_QV_KEYS = {"read_qv", "x_qv", "bc_qv"}
+_BOOL_KEYS = {"is_fwd", "stranded", "has_polyat"}
+
+
+def make_edge_scan_packed_fn(cfg: PipelineConfig):
+    """Packed variant: (seq_qual [2, B, L] int8, lens, peq*) ->
+    (meta [len(EDGE_META_KEYS), B] int32, bc_windows [B, W] int8)."""
+    body = make_edge_scan_fn(cfg)
+
+    @jax.jit
+    def packed(seq_qual, lens, peq_ad, peq_adc, peq_tso):
+        out = body(seq_qual[0], seq_qual[1], lens, peq_ad, peq_adc, peq_tso)
+        rows = []
+        for k in EDGE_META_KEYS:
+            v = out[k]
+            if k in _QV_KEYS:
+                v = jnp.round(v * 10.0).astype(jnp.int32)
+            else:
+                v = v.astype(jnp.int32)
+            rows.append(v)
+        return jnp.stack(rows, axis=0), out["bc_windows"]
+
+    return packed
+
+
+def unpack_edge_meta(meta: np.ndarray, bc_windows: np.ndarray) -> dict:
+    """Host-side inverse of the packing above -> the edge-scan dict."""
+    out = {}
+    for r, k in enumerate(EDGE_META_KEYS):
+        v = meta[r]
+        if k in _QV_KEYS:
+            v = v.astype(np.float32) / 10.0
+        elif k in _BOOL_KEYS:
+            v = v.astype(bool)
+        out[k] = v
+    out["bc_windows"] = bc_windows
+    return out
+
+
 def make_internal_scan_fn(cfg: PipelineConfig, max_sites: int = 4):
     """Build the jitted internal/chimera scan (bucketed full-length shapes).
 
@@ -284,12 +332,26 @@ def make_internal_scan_fn(cfg: PipelineConfig, max_sites: int = 4):
         t_ed = jnp.where(sT.reshape(-1) >= 0, t_ed, BIG).reshape(B, K)
         # adapter end at orig (sT-Wi)+i_e; cassette starts m_adc-1 earlier.
         t_split = (sT.reshape(-1) - Wi + t_pos - (m_adc - 1)).reshape(B, K)
-        return {"n_internal_a": nA, "internal_a": sA,
-                "internal_a_ed": a_ed, "internal_a_split": a_split,
-                "n_internal_t": nT, "internal_t": sT,
-                "internal_t_ed": t_ed, "internal_t_split": t_split}
+        # pack into one int32 matrix (single d2h transfer; see EDGE_META_KEYS)
+        return jnp.concatenate([
+            nA[None, :], sA.T, a_ed.T, a_split.T,
+            nT[None, :], sT.T, t_ed.T, t_split.T], axis=0)
 
     return fn
+
+
+def unpack_internal_meta(meta: np.ndarray, max_sites: int = 4) -> dict:
+    K = max_sites
+    rows = {}
+    off = 0
+    for name, n in (("n_internal_a", 1), ("internal_a", K),
+                    ("internal_a_ed", K), ("internal_a_split", K),
+                    ("n_internal_t", 1), ("internal_t", K),
+                    ("internal_t_ed", K), ("internal_t_split", K)):
+        v = meta[off:off + n]
+        rows[name] = v[0] if n == 1 else v.T
+        off += n
+    return rows
 
 
 # ---------------------------------------------------------------------------
@@ -334,6 +396,51 @@ def remap_composite(pos: np.ndarray, true_lens: np.ndarray,
     return np.where(pos < 0, pos, out)
 
 
+def make_scan_search_fn(cfg: PipelineConfig, use_pallas: bool,
+                        bt: int = 256, nt: int = 512):
+    """Fused edge scan + whitelist ED sweep in ONE jit (one dispatch,
+    minimal RPC count on remote devices).
+
+    Returns fn(seq_qual [2, B, L] int8, lens [B], peq_ad, peq_adc, peq_tso,
+    peq_bc [4, N] uint32, nvalid [1] int32) ->
+    (meta [K, B] int32, bc_windows [B, W] int8, best [4, B] int32) where
+    best rows are (ed, idx, ed2, end_pos). B % bt == 0 and N % nt == 0
+    required when use_pallas.
+    """
+    from sicelore_tpu.ops import bcsearch  # local import: avoids cycle
+
+    body = make_edge_scan_fn(cfg)
+    m = cfg.barcodes.cell_bc_length
+
+    @jax.jit
+    def fn(seq_qual, lens, peq_ad, peq_adc, peq_tso, peq_bc, nvalid):
+        out = body(seq_qual[0], seq_qual[1], lens, peq_ad, peq_adc, peq_tso)
+        rows = []
+        for k in EDGE_META_KEYS:
+            v = out[k]
+            if k in _QV_KEYS:
+                v = jnp.round(v * 10.0).astype(jnp.int32)
+            else:
+                v = v.astype(jnp.int32)
+            rows.append(v)
+        meta = jnp.stack(rows, axis=0)
+        wins = out["bc_windows"]
+        if use_pallas:
+            best = bcsearch.bc_sweep_pallas(wins.astype(jnp.int32), peq_bc,
+                                            nvalid, m, bt=bt, nt=nt)
+        else:
+            N = peq_bc.shape[1]
+            ed, pos = editdist.myers_sweep(wins, peq_bc, m)
+            gidx = jnp.arange(N, dtype=jnp.int32)[None, :]
+            ed = jnp.where(gidx < nvalid[0], ed, bcsearch.BIG)
+            b1, i1, b2, _ = editdist.best_two(ed)
+            p1 = jnp.take_along_axis(pos, i1[:, None], axis=1)[:, 0]
+            best = jnp.stack([b1, i1, b2, p1], axis=0)
+        return meta, wins, best
+
+    return fn
+
+
 class ReadScanModel:
     """Host-side wrapper: owns pattern bitmasks + the jitted scan fns."""
 
@@ -344,7 +451,7 @@ class ReadScanModel:
         self.peq_adc = jnp.asarray(
             editdist.build_peq(dna.encode(a.sequence_complete)[None, :]))
         self.peq_tso = jnp.asarray(editdist.build_peq(dna.encode(t.sequence)[None, :]))
-        self._edge_fn = make_edge_scan_fn(self.cfg)
+        self._edge_fn = make_edge_scan_packed_fn(self.cfg)
         self._internal_fn = make_internal_scan_fn(self.cfg)
 
     @property
@@ -359,16 +466,18 @@ class ReadScanModel:
         the same compiled executable (compiles are expensive on TPU)."""
         B = len(lens)
         Bp = bucket_length(max(B, 1), 256)
-        if Bp != B:
-            seqs = np.concatenate(
-                [seqs, np.full((Bp - B, seqs.shape[1]), dna.PAD, np.int8)])
-            quals = np.concatenate(
-                [quals, np.zeros((Bp - B, quals.shape[1]), np.int8)])
-            lens = np.concatenate([lens, np.zeros(Bp - B, np.int32)])
-        out = self._edge_fn(jnp.asarray(seqs), jnp.asarray(quals),
-                            jnp.asarray(lens, dtype=jnp.int32),
-                            self.peq_ad, self.peq_adc, self.peq_tso)
-        return {k: np.asarray(v)[:B] for k, v in out.items()}
+        L = seqs.shape[1]
+        sq = np.full((2, Bp, L), dna.PAD, dtype=np.int8)
+        sq[0, :B] = seqs
+        sq[1, :B] = quals
+        sq[1, B:] = 0
+        lens_p = np.zeros(Bp, dtype=np.int32)
+        lens_p[:B] = lens
+        meta, wins = self._edge_fn(jnp.asarray(sq), jnp.asarray(lens_p),
+                                   self.peq_ad, self.peq_adc, self.peq_tso)
+        out = unpack_edge_meta(np.asarray(meta), np.asarray(wins))
+        return {k: v[..., :B] if v.ndim == 1 else v[:B]
+                for k, v in out.items()}
 
     def scan_reads(self, seqs: list[bytes], quals: list[bytes]):
         """Composite edge scan of raw reads; coords remapped to true reads."""
@@ -379,6 +488,55 @@ class ReadScanModel:
         out["true_lens"] = true_lens
         return out
 
+    # -- fused scan + barcode search (pass-2 hot path) -------------------
+
+    def prepare_search(self, used_peq: np.ndarray, n_valid: int,
+                       use_pallas: bool | None = None):
+        """Bind a used-barcode list for fused scan+search calls."""
+        import jax as _jax
+        if use_pallas is None:
+            use_pallas = _jax.devices()[0].platform == "tpu"
+        nt = 512
+        N = ((max(n_valid, 1) + nt - 1) // nt) * nt
+        peq = np.zeros((4, N), dtype=np.uint32)
+        peq[:, :used_peq.shape[1]] = used_peq
+        self._peq_bc = jnp.asarray(peq)
+        self._nvalid = jnp.asarray([n_valid], dtype=jnp.int32)
+        self._search_fn = make_scan_search_fn(self.cfg, use_pallas)
+
+    def scan_search_async(self, seqs: list[bytes], quals: list[bytes]):
+        """Dispatch composite edge scan + BC sweep; returns device handles
+        (meta, wins, best, B, true_lens) WITHOUT blocking — force with
+        `finish_search` while the device works on the next batch."""
+        codes, qv, comp_lens, true_lens = encode_composite(seqs, quals)
+        B = len(comp_lens)
+        Bp = bucket_length(max(B, 1), 256)
+        L = codes.shape[1]
+        sq = np.full((2, Bp, L), dna.PAD, dtype=np.int8)
+        sq[0, :B] = codes
+        sq[1, :B] = qv
+        sq[1, B:] = 0
+        lens_p = np.zeros(Bp, dtype=np.int32)
+        lens_p[:B] = comp_lens
+        meta, wins, best = self._search_fn(
+            jnp.asarray(sq), jnp.asarray(lens_p), self.peq_ad, self.peq_adc,
+            self.peq_tso, self._peq_bc, self._nvalid)
+        return meta, wins, best, B, true_lens
+
+    def finish_search(self, handles):
+        """Force a scan_search_async result -> (edge dict, best dict)."""
+        meta, wins, best, B, true_lens = handles
+        out = unpack_edge_meta(np.asarray(meta), np.asarray(wins))
+        out = {k: v[..., :B] if v.ndim == 1 else v[:B] for k, v in out.items()}
+        for key in ("ps", "pe", "ae", "x_start", "x_end"):
+            out[key] = remap_composite(out[key], true_lens)
+        out["true_lens"] = true_lens
+        b = np.asarray(best)[:, :B]
+        ed2 = np.where(b[2] >= bcsearch_BIG_MIN, editdist.INT_MAX, b[2])
+        bc = {"ed": b[0].astype(np.int64), "idx": b[1].astype(np.int64),
+              "ed2": ed2.astype(np.int64), "end_pos": b[3].astype(np.int64)}
+        return out, bc
+
     def scan_internal(self, seqs, lens):
         """Internal/chimera scan on full-length [B, L] batches (B padded to
         a power-of-two bucket to bound compile count)."""
@@ -388,10 +546,11 @@ class ReadScanModel:
             seqs = np.concatenate(
                 [seqs, np.full((Bp - B, seqs.shape[1]), dna.PAD, np.int8)])
             lens = np.concatenate([lens, np.zeros(Bp - B, np.int32)])
-        out = self._internal_fn(jnp.asarray(seqs),
-                                jnp.asarray(lens, dtype=jnp.int32),
-                                self.peq_adc)
-        return {k: np.asarray(v)[:B] for k, v in out.items()}
+        meta = self._internal_fn(jnp.asarray(seqs),
+                                 jnp.asarray(lens, dtype=jnp.int32),
+                                 self.peq_adc)
+        out = unpack_internal_meta(np.asarray(meta))
+        return {k: v[:B] for k, v in out.items()}
 
 
 def bucket_length(n: int, minimum: int = 256) -> int:

@@ -299,11 +299,24 @@ class ScanFastqPipeline:
 
     def pass2_chunk(self, chunk: fastq.FastqChunk,
                     passed: fastq.FastqWriter, failed: fastq.FastqWriter):
-        r = self.cfg.readscanner
-        bc_len = self.cfg.barcodes.cell_bc_length
+        """Synchronous pass-2 (random-BC negative control / fallback path)."""
         self.stats.total_reads += len(chunk)
         chunk = self.split_chimeras(chunk)
         out = self.model.scan_reads(chunk.seqs, chunk.quals)
+        n = len(chunk)
+        wins = out["bc_windows"]
+        if self.random_barcode:
+            wins = self.rng.integers(0, 4, wins.shape).astype(np.int8)
+        bc = bcsearch.bc_search(wins.astype(np.int32), self.used_peq,
+                                len(self.used_strs),
+                                self.cfg.barcodes.cell_bc_length)
+        self.pass2_emit(chunk, out, bc, passed, failed)
+
+    def pass2_emit(self, chunk: fastq.FastqChunk, out: dict, bc: dict,
+                   passed: fastq.FastqWriter, failed: fastq.FastqWriter):
+        """Apply assignment rules + write outputs for one scanned chunk."""
+        r = self.cfg.readscanner
+        bc_len = self.cfg.barcodes.cell_bc_length
         n = len(chunk)
         too_short = out["true_lens"] < r.min_read_length
         stranded = out["stranded"] & ~too_short
@@ -312,26 +325,12 @@ class ScanFastqPipeline:
         self.stats.fwd += int((stranded & out["is_fwd"]).sum())
         self.stats.rev += int((stranded & ~out["is_fwd"]).sum())
 
-        # BC sweep for stranded reads
-        sel = np.nonzero(stranded)[0]
-        assigned = np.zeros(n, dtype=bool)
-        bc_idx = np.full(n, -1, dtype=np.int64)
-        bc_ed = np.full(n, BIG, dtype=np.int64)
-        bc_ed2 = np.full(n, editdist.INT_MAX, dtype=np.int64)
         max_ed = self.max_ed()
-        if len(sel) and self.used_peq is not None:
-            wins = out["bc_windows"][sel]
-            if self.random_barcode:
-                wins = self.rng.integers(0, 4, wins.shape).astype(np.int8)
-            res = bcsearch.bc_search(wins.astype(np.int32), self.used_peq,
-                                     len(self.used_strs), bc_len)
-            ok = (res["ed"] <= max_ed) & (res["ed2"] > res["ed"])
-            amb = (res["ed"] <= max_ed) & ~ok
-            assigned[sel] = ok
-            bc_idx[sel] = res["idx"]
-            bc_ed[sel] = res["ed"]
-            bc_ed2[sel] = res["ed2"]
-            self.stats.bc_ambiguous += int(amb.sum())
+        ok = stranded & (bc["ed"] <= max_ed) & (bc["ed2"] > bc["ed"])
+        amb = stranded & (bc["ed"] <= max_ed) & ~ok
+        self.stats.bc_ambiguous += int(amb.sum())
+        assigned = ok
+        bc_idx, bc_ed, bc_ed2 = bc["idx"], bc["ed"], bc["ed2"]
 
         # outputs
         for i in range(n):
@@ -402,16 +401,38 @@ class ScanFastqPipeline:
                     self.pass1_chunk(chunk)
             self.build_used_list()
             self.write_barcode_list(out_dir / "BarcodeList.tsv")
-        # PASS 2
+        # PASS 2 — fused scan+sweep with double buffering: the device works
+        # on chunk i+1 while the host writes chunk i's outputs (the analog of
+        # the reference's reader/worker/writer thread pipeline)
         ext = ".fastq.gz" if self.compress else ".fastq"
+        use_fused = not self.random_barcode and self.used_peq is not None
+        if use_fused:
+            self.model.prepare_search(self.used_peq, len(self.used_strs))
         for f in files:
             stem = f.name
             for suf in (".gz", ".fastq", ".fq"):
                 stem = stem[:-len(suf)] if stem.endswith(suf) else stem
             with fastq.FastqWriter(out_dir / "passed" / f"{stem}FWD{ext}") as pw, \
                  fastq.FastqWriter(out_dir / "failed" / f"{stem}FAILED{ext}") as fw:
+                if not use_fused:
+                    for chunk in fastq.read_fastq(f, self.chunk_size):
+                        self.pass2_chunk(chunk, pw, fw)
+                    continue
+                pending = None
                 for chunk in fastq.read_fastq(f, self.chunk_size):
-                    self.pass2_chunk(chunk, pw, fw)
+                    self.stats.total_reads += len(chunk)
+                    chunk = self.split_chimeras(chunk)
+                    handles = self.model.scan_search_async(chunk.seqs,
+                                                           chunk.quals)
+                    if pending is not None:
+                        pchunk, phandles = pending
+                        out, bc = self.model.finish_search(phandles)
+                        self.pass2_emit(pchunk, out, bc, pw, fw)
+                    pending = (chunk, handles)
+                if pending is not None:
+                    pchunk, phandles = pending
+                    out, bc = self.model.finish_search(phandles)
+                    self.pass2_emit(pchunk, out, bc, pw, fw)
         self.write_barcodes_assigned(out_dir / "BarcodesAssigned.tsv")
         with open(out_dir / "scanner_stats.json", "w") as fh:
             json.dump(self.stats.to_json(), fh, indent=1)
