@@ -38,6 +38,39 @@ def _add_scanfastq(sub):
     return p
 
 
+def _add_assignumis(sub):
+    p = sub.add_parser("assignumis", help="per-cell per-region UMI "
+                       "clustering on a sorted BAM (reference assignumis)")
+    p.add_argument("-i", "--inFileNanopore", required=True,
+                   help="sorted Nanopore BAM (scanfastq read names)")
+    p.add_argument("-o", "--outfile", required=True)
+    p.add_argument("-a", "--annotationFile", default=None,
+                   help="refFlat for GE gene tagging + genecounts")
+    p.add_argument("--config", default=None)
+    return p
+
+
+def cmd_assignumis(args) -> int:
+    from pathlib import Path as _P
+
+    from sicelore_tpu.pipeline.assignumis import AssignUmisPipeline
+    from sicelore_tpu.utils.config import PipelineConfig, load_config_xml
+
+    cfg = load_config_xml(args.config) if args.config else PipelineConfig()
+    pipe = AssignUmisPipeline(cfg, refflat=args.annotationFile)
+    out = _P(args.outfile)
+    stats = pipe.run(args.inFileNanopore, out,
+                     genecounts_tsv=out.with_suffix("").with_name(
+                         out.stem + ".genecounts.tsv"),
+                     umidepths_tsv=out.with_suffix("").with_name(
+                         out.stem + ".UMIdepths.tsv"),
+                     log_json=str(out) + ".log")
+    print(f"assignumis done: {stats.total_records} records, "
+          f"{stats.umi_assigned} UMI-assigned "
+          f"({stats.clustered} clusters, {stats.singletons} singletons)")
+    return 0
+
+
 def _add_isoformmatrix(sub):
     p = sub.add_parser("isoformmatrix", help="cell x isoform/gene/junction "
                        "UMI matrices (reference IsoformMatrix)")
@@ -107,10 +140,13 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="sicelore_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
     _add_scanfastq(sub)
+    _add_assignumis(sub)
     _add_isoformmatrix(sub)
     args = ap.parse_args(argv)
     if args.cmd == "scanfastq":
         return cmd_scanfastq(args)
+    if args.cmd == "assignumis":
+        return cmd_assignumis(args)
     if args.cmd == "isoformmatrix":
         return cmd_isoformmatrix(args)
     ap.error(f"unknown command {args.cmd}")
