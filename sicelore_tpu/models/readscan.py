@@ -119,10 +119,27 @@ def internal_sites(seqs: jax.Array, lens: jax.Array, *, base: int, k: int,
     return jnp.sum(st >= 0, axis=1).astype(jnp.int32), st
 
 
+def pack_nibbles_np(codes: np.ndarray) -> np.ndarray:
+    """[B, 2E] int8 codes (0..5) -> [B, E] uint8, two 4-bit codes per byte.
+
+    Halves host->device bytes on the transfer-bound remote-TPU path."""
+    c = codes.astype(np.uint8)
+    return (c[:, 0::2] << 4) | c[:, 1::2]
+
+
+def unpack_nibbles(packed: jax.Array) -> jax.Array:
+    """Device-side inverse of pack_nibbles_np: [B, E] uint8 -> [B, 2E] int8."""
+    B, E = packed.shape
+    hi = (packed >> 4).astype(jnp.int8)
+    lo = (packed & jnp.uint8(0xF)).astype(jnp.int8)
+    return jnp.stack([hi, lo], axis=-1).reshape(B, 2 * E)
+
+
 def make_edge_scan_fn(cfg: PipelineConfig):
     """Build the jitted edge-scan function (fixed [B, 2*EDGE] shape).
 
-    Returns scan_fn(seqs, quals, lens, peq_ad, peq_adc, peq_tso) -> dict.
+    Returns scan_fn(seqs, lens, peq_ad, peq_adc, peq_tso) -> dict of
+    position/ED results (QVs are host-side — quals never ship to device).
     peq_* are [4, 1] uint32 single-pattern bitmasks (adapter short form,
     adapter complete, TSO) in SENSE orientation. `lens` are composite
     lengths (min(true_len, 2*EDGE)).
@@ -144,7 +161,7 @@ def make_edge_scan_fn(cfg: PipelineConfig):
     x_len = 40 + nbases  # X= spans [AE-40, AE+nbases-1] (README example: 43)
 
     @jax.jit
-    def scan_fn(seqs, quals, lens, peq_ad, peq_adc, peq_tso):
+    def scan_fn(seqs, lens, peq_ad, peq_adc, peq_tso):
         B, L = seqs.shape
 
         # ---- polyA (3' end, FWD hypothesis) / polyT (5' start, REV) ----
@@ -217,18 +234,9 @@ def make_edge_scan_fn(cfg: PipelineConfig):
         tso_found = tso_ed <= t.max_needleman_mismatches
         tso_end = jnp.where(tso_found, tso_pos + (t.offset_tso_end - 1), -1)
 
-        # ---- QVs ----
-        read_qv = _mean_qv(quals, lens)
         # X region: stranded [ae - x_len + nbases, ae + nbases - 1]
         xs_str = ae - (x_len - nbases)
         xe_str = ae + nbases - 1
-        xs = jnp.where(is_fwd, xs_str, lens - 1 - xe_str)
-        xe = jnp.where(is_fwd, xe_str, lens - 1 - xs_str)
-        x_qv = _window_mean_qv(quals, lens, jnp.maximum(xs, 0), xe)
-        # BC-region mean QV (stranded [ae-bc_len, ae-1] -> orig coords)
-        bs = jnp.where(is_fwd, ae - bc_len, lens - 1 - (ae - 1))
-        be = jnp.where(is_fwd, ae - 1, lens - 1 - (ae - bc_len))
-        bc_qv = _window_mean_qv(quals, lens, jnp.maximum(bs, 0), be)
 
         return {
             "is_fwd": is_fwd, "stranded": stranded, "has_polyat": has_pat,
@@ -238,58 +246,80 @@ def make_edge_scan_fn(cfg: PipelineConfig):
             "adapter_run": ad_runs,
             "bc_windows": bc_windows,
             "tso_end": tso_end, "tso_ed": tso_ed,
-            "read_qv": read_qv, "x_qv": x_qv, "bc_qv": bc_qv,
             "x_start": xs_str, "x_end": xe_str,
         }
 
     return scan_fn
 
 
-# Edge-scan meta rows: everything except bc_windows packs into one int32
-# matrix so a remote-device fetch is ONE transfer, not 17 (each d2h RPC costs
-# a network round trip through the TPU tunnel). QVs are stored as round(10*x)
-# — the reference itself only ever prints one decimal (Q=%.1f).
+# Edge-scan meta rows pack into ONE int16 matrix so a remote-device fetch is
+# one small transfer, not 14 (each d2h RPC costs a ~80ms network round trip
+# through the TPU tunnel; d2h bandwidth is ~15 MB/s). All values are
+# composite coords (< 2*EDGE) or small EDs; BIG sentinels clamp to I16_BIG.
 EDGE_META_KEYS = (
     "is_fwd", "stranded", "has_polyat", "ps", "pe", "ae", "adapter_ed",
     "adapter_complete_ed", "adapter_run", "tso_end", "tso_ed",
-    "read_qv", "x_qv", "bc_qv", "x_start", "x_end")
-_QV_KEYS = {"read_qv", "x_qv", "bc_qv"}
+    "x_start", "x_end")
 _BOOL_KEYS = {"is_fwd", "stranded", "has_polyat"}
+I16_BIG = 32000
+
+
+def _pack_meta(out: dict) -> jax.Array:
+    rows = [jnp.clip(out[k].astype(jnp.int32), -I16_BIG, I16_BIG)
+            .astype(jnp.int16) for k in EDGE_META_KEYS]
+    return jnp.stack(rows, axis=0)
 
 
 def make_edge_scan_packed_fn(cfg: PipelineConfig):
-    """Packed variant: (seq_qual [2, B, L] int8, lens, peq*) ->
-    (meta [len(EDGE_META_KEYS), B] int32, bc_windows [B, W] int8)."""
+    """Packed variant: (packed_seq [B, EDGE] uint8 nibbles, lens, peq*) ->
+    (meta [len(EDGE_META_KEYS), B] int16, bc_windows [B, W] int8)."""
     body = make_edge_scan_fn(cfg)
 
     @jax.jit
-    def packed(seq_qual, lens, peq_ad, peq_adc, peq_tso):
-        out = body(seq_qual[0], seq_qual[1], lens, peq_ad, peq_adc, peq_tso)
-        rows = []
-        for k in EDGE_META_KEYS:
-            v = out[k]
-            if k in _QV_KEYS:
-                v = jnp.round(v * 10.0).astype(jnp.int32)
-            else:
-                v = v.astype(jnp.int32)
-            rows.append(v)
-        return jnp.stack(rows, axis=0), out["bc_windows"]
+    def packed(packed_seq, lens, peq_ad, peq_adc, peq_tso):
+        out = body(unpack_nibbles(packed_seq), lens, peq_ad, peq_adc, peq_tso)
+        return _pack_meta(out), out["bc_windows"]
 
     return packed
 
 
-def unpack_edge_meta(meta: np.ndarray, bc_windows: np.ndarray) -> dict:
-    """Host-side inverse of the packing above -> the edge-scan dict."""
+def unpack_edge_meta(meta: np.ndarray) -> dict:
+    """Host-side inverse of _pack_meta (adds nothing qual-derived)."""
     out = {}
     for r, k in enumerate(EDGE_META_KEYS):
-        v = meta[r]
-        if k in _QV_KEYS:
-            v = v.astype(np.float32) / 10.0
-        elif k in _BOOL_KEYS:
+        v = meta[r].astype(np.int32)
+        if k in _BOOL_KEYS:
             v = v.astype(bool)
         out[k] = v
-    out["bc_windows"] = bc_windows
+    out["adapter_ed"] = np.where(out["adapter_ed"] >= I16_BIG, BIG,
+                                 out["adapter_ed"])
     return out
+
+
+def compute_qvs_np(qv: np.ndarray, lens: np.ndarray, out: dict,
+                   bc_len: int) -> None:
+    """Host-side QV means (read/X-region/BC-region), numpy-vectorized over
+    the composite qual matrix — mirrors the former device `_mean_qv` /
+    `_window_mean_qv` math; adds read_qv/x_qv/bc_qv to `out`."""
+    B, L = qv.shape
+    lens = np.asarray(lens)
+    cols = np.arange(L)[None, :]
+    inread = cols < lens[:, None]
+    qf = qv.astype(np.float32)
+    out["read_qv"] = ((qf * inread).sum(1)
+                      / np.maximum(lens, 1)).astype(np.float32)
+    is_fwd = out["is_fwd"]
+    ae = out["ae"]
+
+    def window_mean(s_str, e_str):
+        s = np.where(is_fwd, s_str, lens - 1 - e_str)
+        e = np.where(is_fwd, e_str, lens - 1 - s_str)
+        m = (cols >= np.maximum(s, 0)[:, None]) & (cols <= e[:, None]) & inread
+        n = m.sum(1)
+        return ((qf * m).sum(1) / np.maximum(n, 1)).astype(np.float32)
+
+    out["x_qv"] = window_mean(out["x_start"], out["x_end"])
+    out["bc_qv"] = window_mean(ae - bc_len, ae - 1)
 
 
 def make_internal_scan_fn(cfg: PipelineConfig, max_sites: int = 4):
@@ -399,13 +429,14 @@ def remap_composite(pos: np.ndarray, true_lens: np.ndarray,
 def make_scan_search_fn(cfg: PipelineConfig, use_pallas: bool,
                         bt: int = 256, nt: int = 512):
     """Fused edge scan + whitelist ED sweep in ONE jit (one dispatch,
-    minimal RPC count on remote devices).
+    minimal RPC count + bytes on remote devices).
 
-    Returns fn(seq_qual [2, B, L] int8, lens [B], peq_ad, peq_adc, peq_tso,
-    peq_bc [4, N] uint32, nvalid [1] int32) ->
-    (meta [K, B] int32, bc_windows [B, W] int8, best [4, B] int32) where
-    best rows are (ed, idx, ed2, end_pos). B % bt == 0 and N % nt == 0
-    required when use_pallas.
+    Returns fn(packed_seq [B, EDGE] uint8 nibbles, lens [B], peq_ad,
+    peq_adc, peq_tso, peq_bc [4, N] uint32, nvalid [1] int32) ->
+    (meta [K, B] int16, best [4, B] int32) where best rows are
+    (ed, idx, ed2, end_pos). bc_windows stay on device — pass 2 never
+    needs them on host. B % bt == 0 and N % nt == 0 required when
+    use_pallas.
     """
     from sicelore_tpu.ops import bcsearch  # local import: avoids cycle
 
@@ -413,17 +444,9 @@ def make_scan_search_fn(cfg: PipelineConfig, use_pallas: bool,
     m = cfg.barcodes.cell_bc_length
 
     @jax.jit
-    def fn(seq_qual, lens, peq_ad, peq_adc, peq_tso, peq_bc, nvalid):
-        out = body(seq_qual[0], seq_qual[1], lens, peq_ad, peq_adc, peq_tso)
-        rows = []
-        for k in EDGE_META_KEYS:
-            v = out[k]
-            if k in _QV_KEYS:
-                v = jnp.round(v * 10.0).astype(jnp.int32)
-            else:
-                v = v.astype(jnp.int32)
-            rows.append(v)
-        meta = jnp.stack(rows, axis=0)
+    def fn(packed_seq, lens, peq_ad, peq_adc, peq_tso, peq_bc, nvalid):
+        out = body(unpack_nibbles(packed_seq), lens, peq_ad, peq_adc, peq_tso)
+        meta = _pack_meta(out)
         wins = out["bc_windows"]
         if use_pallas:
             best = bcsearch.bc_sweep_pallas(wins.astype(jnp.int32), peq_bc,
@@ -436,7 +459,7 @@ def make_scan_search_fn(cfg: PipelineConfig, use_pallas: bool,
             b1, i1, b2, _ = editdist.best_two(ed)
             p1 = jnp.take_along_axis(pos, i1[:, None], axis=1)[:, 0]
             best = jnp.stack([b1, i1, b2, p1], axis=0)
-        return meta, wins, best
+        return meta, best
 
     return fn
 
@@ -459,25 +482,36 @@ class ReadScanModel:
         return (self.cfg.barcodes.cell_bc_length
                 + 2 * self.cfg.readscanner.test_plus_minus_pos + 2)
 
-    def __call__(self, seqs, quals, lens):
-        """Edge scan on [B, L] int8 batches -> dict of np arrays.
-
-        B is padded up to a power-of-two bucket so every chunk size reuses
-        the same compiled executable (compiles are expensive on TPU)."""
+    def _pack_batch(self, codes: np.ndarray, lens):
+        """Pad B to a power-of-two bucket (one compiled shape per bucket)
+        and nibble-pack; returns (packed [Bp, E] uint8, lens_p, B)."""
         B = len(lens)
         Bp = bucket_length(max(B, 1), 256)
-        L = seqs.shape[1]
-        sq = np.full((2, Bp, L), dna.PAD, dtype=np.int8)
-        sq[0, :B] = seqs
-        sq[1, :B] = quals
-        sq[1, B:] = 0
+        L = codes.shape[1]
+        if L % 2:
+            codes = np.concatenate(
+                [codes, np.full((B, 1), dna.PAD, np.int8)], axis=1)
+            L += 1
+        full = np.full((Bp, L), dna.PAD, dtype=np.int8)
+        full[:B] = codes
         lens_p = np.zeros(Bp, dtype=np.int32)
         lens_p[:B] = lens
-        meta, wins = self._edge_fn(jnp.asarray(sq), jnp.asarray(lens_p),
+        return pack_nibbles_np(full), lens_p, B
+
+    def __call__(self, seqs, quals, lens):
+        """Edge scan on [B, L] int8 batches -> dict of np arrays (QVs are
+        computed host-side from `quals`; only packed seqs ship to device)."""
+        packed, lens_p, B = self._pack_batch(np.asarray(seqs, dtype=np.int8),
+                                             lens)
+        meta, wins = self._edge_fn(jnp.asarray(packed), jnp.asarray(lens_p),
                                    self.peq_ad, self.peq_adc, self.peq_tso)
-        out = unpack_edge_meta(np.asarray(meta), np.asarray(wins))
-        return {k: v[..., :B] if v.ndim == 1 else v[:B]
-                for k, v in out.items()}
+        out = unpack_edge_meta(np.asarray(meta))
+        out["bc_windows"] = np.asarray(wins)
+        out = {k: v[..., :B] if v.ndim == 1 else v[:B]
+               for k, v in out.items()}
+        compute_qvs_np(np.asarray(quals, dtype=np.int8), lens, out,
+                       self.cfg.barcodes.cell_bc_length)
+        return out
 
     def scan_reads(self, seqs: list[bytes], quals: list[bytes]):
         """Composite edge scan of raw reads; coords remapped to true reads."""
@@ -506,28 +540,22 @@ class ReadScanModel:
 
     def scan_search_async(self, seqs: list[bytes], quals: list[bytes]):
         """Dispatch composite edge scan + BC sweep; returns device handles
-        (meta, wins, best, B, true_lens) WITHOUT blocking — force with
-        `finish_search` while the device works on the next batch."""
+        (meta, best, qv, comp_lens, B, true_lens) WITHOUT blocking — force
+        with `finish_search` while the device works on the next batch."""
         codes, qv, comp_lens, true_lens = encode_composite(seqs, quals)
-        B = len(comp_lens)
-        Bp = bucket_length(max(B, 1), 256)
-        L = codes.shape[1]
-        sq = np.full((2, Bp, L), dna.PAD, dtype=np.int8)
-        sq[0, :B] = codes
-        sq[1, :B] = qv
-        sq[1, B:] = 0
-        lens_p = np.zeros(Bp, dtype=np.int32)
-        lens_p[:B] = comp_lens
-        meta, wins, best = self._search_fn(
-            jnp.asarray(sq), jnp.asarray(lens_p), self.peq_ad, self.peq_adc,
-            self.peq_tso, self._peq_bc, self._nvalid)
-        return meta, wins, best, B, true_lens
+        packed, lens_p, B = self._pack_batch(codes, comp_lens)
+        meta, best = self._search_fn(
+            jnp.asarray(packed), jnp.asarray(lens_p), self.peq_ad,
+            self.peq_adc, self.peq_tso, self._peq_bc, self._nvalid)
+        return meta, best, qv, comp_lens, B, true_lens
 
     def finish_search(self, handles):
         """Force a scan_search_async result -> (edge dict, best dict)."""
-        meta, wins, best, B, true_lens = handles
-        out = unpack_edge_meta(np.asarray(meta), np.asarray(wins))
-        out = {k: v[..., :B] if v.ndim == 1 else v[:B] for k, v in out.items()}
+        meta, best, qv, comp_lens, B, true_lens = handles
+        out = unpack_edge_meta(np.asarray(meta))
+        out = {k: v[..., :B] for k, v in out.items()}
+        # QVs from the composite qual matrix, in composite coords
+        compute_qvs_np(qv, comp_lens, out, self.cfg.barcodes.cell_bc_length)
         for key in ("ps", "pe", "ae", "x_start", "x_end"):
             out[key] = remap_composite(out[key], true_lens)
         out["true_lens"] = true_lens

@@ -83,7 +83,6 @@ def make_sharded_scan_step(mesh: Mesh, cfg: PipelineConfig | None = None,
         jax.jit,
         in_shardings=(
             jax.sharding.NamedSharding(mesh, P("data", None)),  # seqs
-            jax.sharding.NamedSharding(mesh, P("data", None)),  # quals
             jax.sharding.NamedSharding(mesh, P("data")),        # lens
             jax.sharding.NamedSharding(mesh, P()),              # peq_ad
             jax.sharding.NamedSharding(mesh, P()),              # peq_adc
@@ -91,9 +90,9 @@ def make_sharded_scan_step(mesh: Mesh, cfg: PipelineConfig | None = None,
             jax.sharding.NamedSharding(mesh, P(None, "bc")),    # peq_bc
             jax.sharding.NamedSharding(mesh, P()),              # nvalid
         ))
-    def step(seqs, quals, lens, peq_ad, peq_adc, peq_tso, peq_bc, nvalid):
+    def step(seqs, lens, peq_ad, peq_adc, peq_tso, peq_bc, nvalid):
         # data-parallel edge scan: plain jit + shardings, XLA partitions it
-        out = edge_fn(seqs, quals, lens, peq_ad, peq_adc, peq_tso)
+        out = edge_fn(seqs, lens, peq_ad, peq_adc, peq_tso)
         # sharded BC sweep: explicit shard_map for the cross-shard merge
         # check_vma=False: myers_sweep's scan carries start from constants,
         # which the varying-axes checker rejects inside shard_map
