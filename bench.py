@@ -34,7 +34,7 @@ def main(verbose: bool = False):
 
     cfg = PipelineConfig()
     rng = np.random.default_rng(0)
-    B = 8192
+    B = 4096
     N_BC = 8192  # used-barcode list size (large experiment)
 
     wl = synth.make_whitelist(rng, N_BC)
@@ -63,14 +63,18 @@ def main(verbose: bool = False):
     assert float(np.mean(out["stranded"])) > 0.9
     assert float(np.mean(res["ed"] <= 2)) > 0.8
 
-    iters = 8
+    iters = 12
+    depth = 3  # batches in flight (hides tunnel RTT + device latency)
     t0 = time.time()
-    pending = model.scan_search_async(seqs, quals)
-    for _ in range(iters - 1):
-        nxt = model.scan_search_async(seqs, quals)
-        model.finish_search(pending)
-        pending = nxt
-    model.finish_search(pending)
+    from collections import deque
+    q = deque()
+    for _ in range(depth):
+        q.append(model.scan_search_async(seqs, quals))
+    for _ in range(iters - depth):
+        q.append(model.scan_search_async(seqs, quals))
+        model.finish_search(q.popleft())
+    while q:
+        model.finish_search(q.popleft())
     dt = (time.time() - t0) / iters
     reads_per_s = B / dt
 

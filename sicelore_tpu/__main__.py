@@ -71,6 +71,40 @@ def cmd_assignumis(args) -> int:
     return 0
 
 
+def _add_computeconsensus(sub):
+    p = sub.add_parser("computeconsensus", help="per-molecule consensus "
+                       "fastq (reference ComputeConsensus; native engine, "
+                       "no spoa)")
+    p.add_argument("-I", "--INPUT", required=True,
+                   help="BC/U8-tagged BAM with US/CS sequence tags")
+    p.add_argument("-O", "--OUTPUT", required=True, help="output fastq")
+    p.add_argument("--MAXREADS", type=int, default=20)
+    p.add_argument("--MINPS", type=int, default=3)
+    p.add_argument("--MAXPS", type=int, default=20)
+    p.add_argument("--host-engine", action="store_true",
+                   help="force the host consensus engine (no TPU)")
+    return p
+
+
+def cmd_computeconsensus(args) -> int:
+    from sicelore_tpu.pipeline.consensus import compute_consensus
+
+    engine = None
+    if not args.host_engine:
+        try:
+            from sicelore_tpu.ops.poa_tpu import BatchedConsensusEngine
+            engine = BatchedConsensusEngine(maxreads=args.MAXREADS)
+        except Exception:
+            engine = None  # fall back to host engine
+    stats = compute_consensus(args.INPUT, args.OUTPUT,
+                              maxreads=args.MAXREADS, minps=args.MINPS,
+                              maxps=args.MAXPS, engine=engine,
+                              log_json=str(args.OUTPUT) + ".log")
+    print(f"computeconsensus done: {stats['written']}/{stats['molecules']} "
+          f"molecules")
+    return 0
+
+
 def _add_isoformmatrix(sub):
     p = sub.add_parser("isoformmatrix", help="cell x isoform/gene/junction "
                        "UMI matrices (reference IsoformMatrix)")
@@ -142,6 +176,7 @@ def main(argv=None) -> int:
     _add_scanfastq(sub)
     _add_assignumis(sub)
     _add_isoformmatrix(sub)
+    _add_computeconsensus(sub)
     args = ap.parse_args(argv)
     if args.cmd == "scanfastq":
         return cmd_scanfastq(args)
@@ -149,6 +184,8 @@ def main(argv=None) -> int:
         return cmd_assignumis(args)
     if args.cmd == "isoformmatrix":
         return cmd_isoformmatrix(args)
+    if args.cmd == "computeconsensus":
+        return cmd_computeconsensus(args)
     ap.error(f"unknown command {args.cmd}")
     return 2
 

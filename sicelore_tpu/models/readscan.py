@@ -298,15 +298,16 @@ def unpack_edge_meta(meta: np.ndarray) -> dict:
 
 def compute_qvs_np(qv: np.ndarray, lens: np.ndarray, out: dict,
                    bc_len: int) -> None:
-    """Host-side QV means (read/X-region/BC-region), numpy-vectorized over
-    the composite qual matrix — mirrors the former device `_mean_qv` /
+    """Host-side QV means (read/X-region/BC-region) via one prefix-sum +
+    boundary gathers — mirrors the former device `_mean_qv` /
     `_window_mean_qv` math; adds read_qv/x_qv/bc_qv to `out`."""
     B, L = qv.shape
-    lens = np.asarray(lens)
-    cols = np.arange(L)[None, :]
-    inread = cols < lens[:, None]
-    qf = qv.astype(np.float32)
-    out["read_qv"] = ((qf * inread).sum(1)
+    lens = np.asarray(lens).astype(np.int64)
+    # cs[:, k] = sum of first k quals (quals beyond the read are 0 already)
+    cs = np.zeros((B, L + 1), np.int64)
+    np.cumsum(qv, axis=1, out=cs[:, 1:])
+    rows = np.arange(B)
+    out["read_qv"] = (cs[rows, lens]
                       / np.maximum(lens, 1)).astype(np.float32)
     is_fwd = out["is_fwd"]
     ae = out["ae"]
@@ -314,9 +315,12 @@ def compute_qvs_np(qv: np.ndarray, lens: np.ndarray, out: dict,
     def window_mean(s_str, e_str):
         s = np.where(is_fwd, s_str, lens - 1 - e_str)
         e = np.where(is_fwd, e_str, lens - 1 - s_str)
-        m = (cols >= np.maximum(s, 0)[:, None]) & (cols <= e[:, None]) & inread
-        n = m.sum(1)
-        return ((qf * m).sum(1) / np.maximum(n, 1)).astype(np.float32)
+        s = np.clip(s, 0, L)
+        e1 = np.clip(e + 1, 0, L)
+        e1 = np.minimum(e1, lens)
+        n = np.maximum(e1 - s, 1)
+        return ((cs[rows, e1] - cs[rows, np.minimum(s, e1)])
+                / n).astype(np.float32)
 
     out["x_qv"] = window_mean(out["x_start"], out["x_end"])
     out["bc_qv"] = window_mean(ae - bc_len, ae - 1)
@@ -388,27 +392,33 @@ def unpack_internal_meta(meta: np.ndarray, max_sites: int = 4) -> dict:
 # Composite (edge-splice) encoding
 # ---------------------------------------------------------------------------
 
+_ENC_PAD0 = dna._ENC.copy()
+_ENC_PAD0[0] = dna.PAD  # NUL byte = padding in the bulk-encode fast path
+
+
 def encode_composite(seqs: list[bytes], quals: list[bytes], edge: int = EDGE):
     """Encode reads into fixed [B, 2*edge] composites (head + tail splice).
 
     Reads longer than 2*edge keep their first and last `edge` bases; all
     stranding evidence lives there (polyA window 150 + adapter window 110).
-    Returns (codes, qv, comp_lens, true_lens).
-    """
+    Returns (codes, qv, comp_lens, true_lens). Bulk path: one bytes join +
+    one table lookup (the per-read numpy loop was the pass-2 host
+    bottleneck at ~13us/read)."""
     B, W = len(seqs), 2 * edge
-    codes = np.full((B, W), dna.PAD, dtype=np.int8)
-    qv = np.zeros((B, W), dtype=np.int8)
     true_lens = np.fromiter((len(s) for s in seqs), dtype=np.int32, count=B)
     comp_lens = np.minimum(true_lens, W)
-    for i, (s, q) in enumerate(zip(seqs, quals)):
-        if len(s) <= W:
-            codes[i, :len(s)] = dna.encode(s)
-            qv[i, :len(q)] = dna.phred_to_qual(q[:len(s)])
-        else:
-            codes[i, :edge] = dna.encode(s[:edge])
-            codes[i, edge:] = dna.encode(s[-edge:])
-            qv[i, :edge] = dna.phred_to_qual(q[:edge])
-            qv[i, edge:] = dna.phred_to_qual(q[-edge:])
+    z = b"\x00"
+    sbuf = b"".join(
+        s[:edge].ljust(edge, z)
+        + (s[edge:W] if len(s) <= W else s[-edge:]).ljust(edge, z)
+        for s in seqs)
+    codes = _ENC_PAD0[np.frombuffer(sbuf, np.uint8)].reshape(B, W)
+    qbuf = b"".join(
+        q[:edge].ljust(edge, z)
+        + (q[edge:W] if len(q) <= W else q[-edge:]).ljust(edge, z)
+        for q in quals)
+    qarr = np.frombuffer(qbuf, np.uint8).reshape(B, W)
+    qv = np.where(qarr >= 33, qarr.astype(np.int16) - 33, 0).astype(np.int8)
     return codes, qv, comp_lens, true_lens
 
 
