@@ -170,6 +170,121 @@ def cmd_scanfastq(args) -> int:
     return 0
 
 
+def _add_simple_programs(sub):
+    """Host-side stream-rewrite programs (pipeline.programs, .snp_fusion)."""
+    p = sub.add_parser("tagbamwithread", help="add US/QS read-sequence tags "
+                       "from fastq (reference tagbamwithread)")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("-O", "--OUTPUT", required=True)
+    p.add_argument("-F", "--FASTQ", required=True, help="fastq file or dir")
+
+    p = sub.add_parser("deduplicatemolecule",
+                       help="dedup consensus fastq by (BC,U8), keep max RN")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("-O", "--OUTPUT", required=True)
+
+    p = sub.add_parser("addbammoleculetags",
+                       help="read name BC-U8-RN -> BC/U8/RN tags")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("-O", "--OUTPUT", required=True)
+
+    p = sub.add_parser("addgenenametag", help="GE gene tag from refFlat "
+                       "overlap (reference AddGeneNameTag)")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("-O", "--OUTPUT", required=True)
+    p.add_argument("-R", "--REFFLAT", required=True)
+
+    p = sub.add_parser("bam2fastq", help="BAM -> fastq (optionally from "
+                       "US/QS tags)")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("-O", "--OUTPUT", required=True)
+    p.add_argument("--SEQTAG", default=None)
+    p.add_argument("--QUALTAG", default=None)
+
+    p = sub.add_parser("filterbam", help="drop mapqv0 / tag-missing records")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("-O", "--OUTPUT", required=True)
+    p.add_argument("--TAG", default=None, help="required tag")
+
+    p = sub.add_parser("snpmatrix", help="per-cell SNV matrix (reference "
+                       "SNPMatrix)")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("-S", "--SNP", required=True,
+                   help="csv: chrom,pos[|pos2..],strand,name")
+    p.add_argument("-C", "--CSV", required=True)
+    p.add_argument("-O", "--OUTDIR", required=True)
+    p.add_argument("-P", "--PREFIX", default="snp")
+    p.add_argument("--MINRN", type=int, default=0)
+    p.add_argument("--MINQV", type=int, default=0)
+
+    p = sub.add_parser("fusiondetector", help="2-gene molecules -> fusion "
+                       "matrix (reference FusionDetector)")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("-C", "--CSV", required=True)
+    p.add_argument("-O", "--OUTDIR", required=True)
+    p.add_argument("-P", "--PREFIX", default="fus")
+
+    p = sub.add_parser("exportclippedreads", help="export clipped reads as "
+                       "fastq (reference ExportClippedReads)")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("-O", "--OUTPUT", required=True)
+    p.add_argument("--MINCLIP", type=int, default=150)
+
+    p = sub.add_parser("addbamreadtags",
+                       help="read name read_GE_BC_U8 -> tags")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("-O", "--OUTPUT", required=True)
+
+    p = sub.add_parser("sortbam", help="coordinate-sort a BAM")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("-O", "--OUTPUT", required=True)
+
+
+def cmd_simple(args) -> int:
+    from sicelore_tpu.pipeline import programs, snp_fusion
+
+    if args.cmd == "tagbamwithread":
+        r = programs.tag_bam_with_read(args.INPUT, args.OUTPUT, args.FASTQ)
+    elif args.cmd == "deduplicatemolecule":
+        r = programs.deduplicate_molecule(args.INPUT, args.OUTPUT)
+    elif args.cmd == "addbammoleculetags":
+        r = programs.add_bam_molecule_tags(args.INPUT, args.OUTPUT)
+    elif args.cmd == "addgenenametag":
+        r = programs.add_gene_name_tag(args.INPUT, args.OUTPUT, args.REFFLAT)
+    elif args.cmd == "bam2fastq":
+        r = programs.bam2fastq(args.INPUT, args.OUTPUT, args.SEQTAG,
+                               args.QUALTAG)
+    elif args.cmd == "filterbam":
+        r = programs.filter_bam(args.INPUT, args.OUTPUT,
+                                tag_required=args.TAG)
+    elif args.cmd == "snpmatrix":
+        r = snp_fusion.snp_matrix(args.INPUT, args.SNP, args.CSV,
+                                  args.OUTDIR, args.PREFIX, args.MINRN,
+                                  args.MINQV)
+    elif args.cmd == "fusiondetector":
+        r = snp_fusion.fusion_detector(args.INPUT, args.CSV, args.OUTDIR,
+                                       args.PREFIX)
+    elif args.cmd == "exportclippedreads":
+        r = programs.export_clipped_reads(args.INPUT, args.OUTPUT,
+                                          min_clip=args.MINCLIP)
+    elif args.cmd == "addbamreadtags":
+        r = programs.add_bam_read_tags(args.INPUT, args.OUTPUT)
+    elif args.cmd == "sortbam":
+        from sicelore_tpu.io.bam import sort_bam
+        sort_bam(args.INPUT, args.OUTPUT)
+        r = {"sorted": True}
+    else:
+        return 2
+    print(f"{args.cmd} done: {r}")
+    return 0
+
+
+_SIMPLE = {"tagbamwithread", "deduplicatemolecule", "addbammoleculetags",
+           "addgenenametag", "bam2fastq", "filterbam", "snpmatrix",
+           "fusiondetector", "exportclippedreads", "addbamreadtags",
+           "sortbam"}
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="sicelore_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -177,6 +292,7 @@ def main(argv=None) -> int:
     _add_assignumis(sub)
     _add_isoformmatrix(sub)
     _add_computeconsensus(sub)
+    _add_simple_programs(sub)
     args = ap.parse_args(argv)
     if args.cmd == "scanfastq":
         return cmd_scanfastq(args)
@@ -186,6 +302,8 @@ def main(argv=None) -> int:
         return cmd_isoformmatrix(args)
     if args.cmd == "computeconsensus":
         return cmd_computeconsensus(args)
+    if args.cmd in _SIMPLE:
+        return cmd_simple(args)
     ap.error(f"unknown command {args.cmd}")
     return 2
 
