@@ -239,6 +239,23 @@ def _add_simple_programs(sub):
     p.add_argument("-I", "--INPUT", required=True)
     p.add_argument("-O", "--OUTPUT", required=True)
 
+    p = sub.add_parser("collapsemodel", help="novel-isoform discovery/"
+                       "classification/validation (reference CollapseModel)")
+    p.add_argument("-I", "--INPUT", required=True, help="isobam (IG/IT tags)")
+    p.add_argument("-R", "--REFFLAT", required=True)
+    p.add_argument("-C", "--CSV", required=True)
+    p.add_argument("-O", "--OUTDIR", required=True)
+    p.add_argument("-P", "--PREFIX", default="CollapseModel")
+    p.add_argument("--DELTA", type=int, default=2)
+    p.add_argument("--MINEVIDENCE", type=int, default=2)
+    p.add_argument("--RNMIN", type=int, default=1)
+    p.add_argument("--CAGE", default=None, help="CAGE peaks BED")
+    p.add_argument("--POLYA", default=None, help="polyA sites BED")
+    p.add_argument("--SHORT", default=None, help="short-read BAM")
+    p.add_argument("--cageCo", type=int, default=50)
+    p.add_argument("--polyaCo", type=int, default=50)
+    p.add_argument("--juncCo", type=int, default=1)
+
 
 def cmd_simple(args) -> int:
     from sicelore_tpu.pipeline import programs, snp_fusion
@@ -273,6 +290,18 @@ def cmd_simple(args) -> int:
         from sicelore_tpu.io.bam import sort_bam
         sort_bam(args.INPUT, args.OUTPUT)
         r = {"sorted": True}
+    elif args.cmd == "collapsemodel":
+        from sicelore_tpu.pipeline.collapsemodel import collapse_model
+        r = collapse_model(args.INPUT, args.REFFLAT, args.CSV, args.OUTDIR,
+                           prefix=args.PREFIX, delta=args.DELTA,
+                           min_evidence=args.MINEVIDENCE, rn_min=args.RNMIN,
+                           cage_bed=args.CAGE, polya_bed=args.POLYA,
+                           short_bam=args.SHORT, cage_cutoff=args.cageCo,
+                           polya_cutoff=args.polyaCo,
+                           junc_cutoff=args.juncCo)
+        r = {k: v for k, v in r.items()
+             if not str(k).endswith(("_evidences", "_evidences_valid"))
+             and v}
     else:
         return 2
     print(f"{args.cmd} done: {r}")
@@ -282,7 +311,7 @@ def cmd_simple(args) -> int:
 _SIMPLE = {"tagbamwithread", "deduplicatemolecule", "addbammoleculetags",
            "addgenenametag", "bam2fastq", "filterbam", "snpmatrix",
            "fusiondetector", "exportclippedreads", "addbamreadtags",
-           "sortbam"}
+           "sortbam", "collapsemodel"}
 
 
 def main(argv=None) -> int:

@@ -32,10 +32,21 @@ class TranscriptRecord:
     junctions: np.ndarray                  # [J, 2] int64 (end_i, start_{i+1})
     # CollapseModel extensions (reference TranscriptRecord.java:34-52)
     evidence: list = field(default_factory=list)
-    categorie: str = ""
-    subcategorie: str = ""
+    categorie: str = "undef"
+    subcategorie: str = "undef2"
     nb_umis: int = 0
     nb_cells: int = 0
+    is_known: bool = True
+    is_novel: bool = False
+    novel_junctions: list = field(default_factory=list)
+    junction_reads: int = 0
+    is_valid_junction: bool = False
+    dist_cage: int = 0
+    is_valid_cage: bool = False
+    dist_polya: int = 0
+    is_valid_polya: bool = False
+    is_valid: bool = False
+    representative: bytes = b"A"
 
     @classmethod
     def from_refflat_fields(cls, f: list[str]) -> "TranscriptRecord":
