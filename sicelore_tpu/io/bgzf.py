@@ -11,6 +11,7 @@ of BAM indexing.
 """
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 from pathlib import Path
@@ -21,13 +22,46 @@ MAX_BLOCK = 65280  # uncompressed payload per block (samtools default)
 
 
 class BGZFReader:
-    """Sequential BGZF reader with virtual-offset support."""
+    """Sequential BGZF reader with virtual-offset support.
 
-    def __init__(self, path: str | Path):
+    When the native parallel codec (native/build/libbgzf.so via io.native)
+    is available the whole stream is inflated up front with a thread
+    fan-out; otherwise blocks decode lazily in pure Python."""
+
+    def __init__(self, path: str | Path, use_native: bool | None = None):
         self._fh = open(path, "rb")
         self._block = b""
         self._block_coffset = 0
         self._pos = 0  # position within current block
+        self._native_data = None
+        if use_native is not False:
+            self._try_native(use_native is True)
+
+    def _try_native(self, required: bool):
+        from sicelore_tpu.io import native
+        try:
+            size = os.fstat(self._fh.fileno()).st_size
+        except OSError:
+            return
+        if size > (1 << 31) and not required:  # keep huge files lazy
+            return
+        if native.get_lib() is None:
+            return
+        raw = self._fh.read()
+        res = native.bgzf_decompress(raw, want_offsets=True)
+        if res is None:
+            self._fh.seek(0)
+            return
+        data, coff, uoff = res
+        self._native_data = data
+        self._native_coff = coff
+        self._native_uoff = uoff
+        self._npos = 0
+
+    def _native_read(self, n: int) -> bytes:
+        out = self._native_data[self._npos:self._npos + n]
+        self._npos += len(out)
+        return out
 
     def _read_block(self) -> bool:
         self._block_coffset = self._fh.tell()
@@ -59,6 +93,8 @@ class BGZFReader:
         return True
 
     def read(self, n: int) -> bytes:
+        if self._native_data is not None:
+            return self._native_read(n)
         out = []
         need = n
         while need > 0:
@@ -74,10 +110,24 @@ class BGZFReader:
         return b"".join(out)
 
     def tell_virtual(self) -> int:
+        if self._native_data is not None:
+            import numpy as np
+            i = int(np.searchsorted(self._native_uoff, self._npos,
+                                    side="right")) - 1
+            i = max(i, 0)
+            return (int(self._native_coff[i]) << 16) | (
+                self._npos - int(self._native_uoff[i]))
         return (self._block_coffset << 16) | self._pos
 
     def seek_virtual(self, voffset: int):
         coffset, uoffset = voffset >> 16, voffset & 0xFFFF
+        if self._native_data is not None:
+            import numpy as np
+            i = int(np.searchsorted(self._native_coff, coffset))
+            if i >= len(self._native_coff) or self._native_coff[i] != coffset:
+                raise ValueError("seek to unknown BGZF block offset")
+            self._npos = int(self._native_uoff[i]) + uoffset
+            return
         self._fh.seek(coffset)
         self._block = b""
         self._pos = 0
@@ -96,18 +146,53 @@ class BGZFReader:
 
 
 class BGZFWriter:
-    def __init__(self, path: str | Path, level: int = 6):
+    """BGZF writer; large buffered runs compress through the native
+    parallel codec when available (tell_virtual stays exact: the native
+    codec splits at the same MAX_BLOCK boundaries)."""
+
+    _NATIVE_FLUSH = 128 * MAX_BLOCK  # whole blocks per native call (~8MB)
+
+    def __init__(self, path: str | Path, level: int = 6,
+                 use_native: bool | None = None):
         self._fh = open(path, "wb")
         self._buf = bytearray()
         self._level = level
+        self._native = None
+        if use_native is not False:
+            from sicelore_tpu.io import native
+            if native.get_lib() is not None:
+                self._native = native
 
     def write(self, data: bytes):
         self._buf += data
+        if self._native is not None:
+            if len(self._buf) >= self._NATIVE_FLUSH:
+                self._drain_full_blocks()
+        else:
+            while len(self._buf) >= MAX_BLOCK:
+                self._flush_block(self._buf[:MAX_BLOCK])
+                del self._buf[:MAX_BLOCK]
+
+    def _drain_full_blocks(self):
+        """Compress out every complete MAX_BLOCK chunk (leaves < MAX_BLOCK
+        buffered so virtual offsets stay exact block boundaries)."""
+        nfull = len(self._buf) // MAX_BLOCK
+        if not nfull:
+            return
+        chunk = bytes(self._buf[:nfull * MAX_BLOCK])
+        if self._native is not None:
+            comp = self._native.bgzf_compress(chunk, self._level)
+            if comp is not None:
+                del self._buf[:len(chunk)]
+                self._fh.write(comp)
+                return
+            self._native = None  # native failure: fall back forever
         while len(self._buf) >= MAX_BLOCK:
             self._flush_block(self._buf[:MAX_BLOCK])
             del self._buf[:MAX_BLOCK]
 
     def tell_virtual(self) -> int:
+        self._drain_full_blocks()
         return (self._fh.tell() << 16) | len(self._buf)
 
     def _flush_block(self, payload: bytes):
@@ -122,9 +207,9 @@ class BGZFWriter:
                                      len(payload)))
 
     def close(self):
-        if self._buf:
-            self._flush_block(bytes(self._buf))
-            self._buf.clear()
+        while self._buf:
+            self._flush_block(bytes(self._buf[:MAX_BLOCK]))
+            del self._buf[:MAX_BLOCK]
         self._fh.write(BGZF_EOF)
         self._fh.close()
 
