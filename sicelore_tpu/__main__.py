@@ -239,6 +239,54 @@ def _add_simple_programs(sub):
     p.add_argument("-I", "--INPUT", required=True)
     p.add_argument("-O", "--OUTPUT", required=True)
 
+    p = sub.add_parser("samview", help="SAM <-> BAM conversion "
+                       "(samtools-view role)")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("-O", "--OUTPUT", required=True)
+
+    p = sub.add_parser("run", help="full pipeline orchestrator "
+                       "(reference sicelore-nf/quickrun)")
+    p.add_argument("-d", "--fastqDir", required=True)
+    p.add_argument("-r", "--reference", required=True, help="genome fasta")
+    p.add_argument("-a", "--refflat", required=True)
+    p.add_argument("-o", "--outDir", required=True)
+    p.add_argument("--whitelist", default=None)
+    p.add_argument("-g", "--cellRangerBCs", default=None)
+    p.add_argument("-b", "--bcEditDistance", type=int, default=1)
+    p.add_argument("--juncBed", default=None)
+    p.add_argument("--minimap2", default=None)
+    p.add_argument("-t", "--threads", type=int, default=4)
+    p.add_argument("--consensus", action="store_true")
+    p.add_argument("--collapse", action="store_true")
+    p.add_argument("--no-resume", action="store_true")
+
+    p = sub.add_parser("histo", help="histogram programs (reference Histo*)")
+    p.add_argument("KIND", choices=["readlength", "fastqmeanqv", "clipping",
+                                    "moleculelength", "percentidentity",
+                                    "umidepth"])
+    p.add_argument("-I", "--INPUT", required=True, help="BAM or fastq")
+    p.add_argument("-O", "--OUTPUT", required=True, help="output prefix")
+
+    p = sub.add_parser("saturationcurve", help="sequencing saturation "
+                       "(reference SaturationCurve)")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("-O", "--OUTPUT", required=True, help="output prefix")
+
+    p = sub.add_parser("readbamstats", help="BAM counter dump")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("-O", "--OUTPUT", default=None, help="json output")
+
+    p = sub.add_parser("exporteditdistances",
+                       help="per-record BC/UMI ED tsv (reference EditDistance)")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("-O", "--OUTPUT", required=True)
+
+    p = sub.add_parser("bulk2fakesinglecell", help="constant-BC synthetic "
+                       "reads (reference Bulk2FakeSingleCell)")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("-O", "--OUTPUT", required=True)
+    p.add_argument("--BARCODE", default="AAAACCCCGGGGTTTT")
+
     p = sub.add_parser("collapsemodel", help="novel-isoform discovery/"
                        "classification/validation (reference CollapseModel)")
     p.add_argument("-I", "--INPUT", required=True, help="isobam (IG/IT tags)")
@@ -290,6 +338,39 @@ def cmd_simple(args) -> int:
         from sicelore_tpu.io.bam import sort_bam
         sort_bam(args.INPUT, args.OUTPUT)
         r = {"sorted": True}
+    elif args.cmd == "samview":
+        from sicelore_tpu.io import sam as _sam
+        if str(args.INPUT).endswith(".bam"):
+            n = _sam.bam_to_sam(args.INPUT, args.OUTPUT)
+        else:
+            n = _sam.sam_to_bam(args.INPUT, args.OUTPUT)
+        r = {"records": n}
+    elif args.cmd == "run":
+        from sicelore_tpu.pipeline.workflow import run_pipeline
+        r = run_pipeline(
+            args.fastqDir, args.reference, args.refflat, args.outDir,
+            whitelist=args.whitelist, cells_csv=args.cellRangerBCs,
+            bc_ed=args.bcEditDistance, junc_bed=args.juncBed,
+            minimap2_path=args.minimap2, threads=args.threads,
+            with_consensus=args.consensus, with_collapse=args.collapse,
+            resume=not args.no_resume)
+        r = {k: "ok" for k in r}
+    elif args.cmd == "histo":
+        from sicelore_tpu.pipeline import qc
+        r = qc.histo(args.KIND, args.INPUT, args.OUTPUT)
+    elif args.cmd == "saturationcurve":
+        from sicelore_tpu.pipeline import qc
+        r = qc.saturation_curve(args.INPUT, args.OUTPUT)
+    elif args.cmd == "readbamstats":
+        from sicelore_tpu.pipeline import qc
+        r = qc.read_bam_stats(args.INPUT, args.OUTPUT)
+    elif args.cmd == "exporteditdistances":
+        from sicelore_tpu.pipeline import qc
+        r = qc.export_edit_distances(args.INPUT, args.OUTPUT)
+    elif args.cmd == "bulk2fakesinglecell":
+        from sicelore_tpu.pipeline import qc
+        r = qc.bulk2fake_single_cell(args.INPUT, args.OUTPUT,
+                                     barcode=args.BARCODE)
     elif args.cmd == "collapsemodel":
         from sicelore_tpu.pipeline.collapsemodel import collapse_model
         r = collapse_model(args.INPUT, args.REFFLAT, args.CSV, args.OUTDIR,
@@ -311,7 +392,9 @@ def cmd_simple(args) -> int:
 _SIMPLE = {"tagbamwithread", "deduplicatemolecule", "addbammoleculetags",
            "addgenenametag", "bam2fastq", "filterbam", "snpmatrix",
            "fusiondetector", "exportclippedreads", "addbamreadtags",
-           "sortbam", "collapsemodel"}
+           "sortbam", "collapsemodel", "histo", "saturationcurve",
+           "readbamstats", "exporteditdistances", "bulk2fakesinglecell",
+           "samview", "run"}
 
 
 def main(argv=None) -> int:

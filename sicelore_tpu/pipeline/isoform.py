@@ -65,6 +65,21 @@ def isoform_matrix(input_bam, refflat, csv, outdir, prefix="sicelore",
     with open(f"{p}.log", "w") as fh:
         json.dump(log, fh, indent=1)
 
+    # HTML report (reference IsoformMatrix.java:236-289)
+    from sicelore_tpu.report import html as _html
+    per_cell = sorted((cm.nb_umis for cm in matrix.cell_metrics.values()),
+                      reverse=True)
+    _html.write_html(
+        f"{p}.html", "sicelore_tpu IsoformMatrix",
+        [("UMIs per cell", _html.knee_plot(per_cell,
+                                           title="UMIs per cell")),
+         ("Isoform assignment", _html.svg_bars(
+             ["monoexon", "onematch", "ambiguous", "nomatch"],
+             [dataset.stats.monoexon, dataset.stats.onematch,
+              dataset.stats.ambiguous, dataset.stats.nomatch],
+             title="molecules per assignment outcome", ylabel="molecules")),
+         ("Statistics", _html.stats_table(log))])
+
     if isobam:
         tagcfg = tags or TagConfig()
         with BamReader(input_bam) as rd, \

@@ -436,4 +436,29 @@ class ScanFastqPipeline:
         self.write_barcodes_assigned(out_dir / "BarcodesAssigned.tsv")
         with open(out_dir / "scanner_stats.json", "w") as fh:
             json.dump(self.stats.to_json(), fh, indent=1)
+        self.write_report(out_dir / "ReadScanner.html")
         return self.stats
+
+    def write_report(self, path):
+        """Knee plot + scan statistics HTML (reference ReadScanner.html,
+        README.md:380-393)."""
+        from sicelore_tpu.report import html
+        assigned = sorted((int(h.sum()) for h in self.assigned_hist.values()),
+                          reverse=True)
+        sections = [("Knee plot", html.knee_plot(assigned))]
+        if self.used_counts is not None and len(self.used_counts):
+            sections.append(
+                ("Pass-1 exact-match counts",
+                 html.knee_plot(sorted((int(c) for c in self.used_counts),
+                                       reverse=True),
+                                title="Pass-1 reads per barcode")))
+        ed_hist = dict(sorted(self.stats.ed_hist.items()))
+        sections.append(("Barcode ED distribution",
+                         html.svg_bars([str(k) for k in ed_hist],
+                                       list(ed_hist.values()),
+                                       title="reads per assignment ED",
+                                       ylabel="reads")))
+        sections.append(("Statistics", html.stats_table(
+            {k: v for k, v in self.stats.to_json().items()
+             if k != "ed_hist"})))
+        html.write_html(path, "sicelore_tpu read scan", sections)
