@@ -239,6 +239,71 @@ def _add_simple_programs(sub):
     p.add_argument("-I", "--INPUT", required=True)
     p.add_argument("-O", "--OUTPUT", required=True)
 
+    p = sub.add_parser("selectvalidcellbarcode",
+                       help="filter BarcodesAssigned.tsv -> barcodes.csv")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("-O", "--OUTPUT", required=True)
+    p.add_argument("--MINUMI", type=int, default=1)
+    p.add_argument("--ED0ED1RATIO", type=float, default=1.0)
+
+    for nm, hlp in (("filterbammf", "drop mapqv=0 records"),
+                    ("cleanusuq", "strip US/UQ/QS tags"),
+                    ("exportumifoundrecords", "keep BC+U8 records"),
+                    ("filtermoleculebam", "filter molecules on RN/isoform")):
+        p = sub.add_parser(nm, help=hlp)
+        p.add_argument("-I", "--INPUT", required=True)
+        p.add_argument("-O", "--OUTPUT", required=True)
+        if nm == "filtermoleculebam":
+            p.add_argument("--MINRN", type=int, default=1)
+            p.add_argument("--ISOONLY", action="store_true")
+
+    p = sub.add_parser("addlabel2barcode", help="BC -> label_BC")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("-O", "--OUTPUT", required=True)
+    p.add_argument("-L", "--LABEL", required=True)
+
+    p = sub.add_parser("splitbam", help="export records by read-ID list")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("-O", "--OUTPUT", required=True)
+    p.add_argument("--IDS", required=True)
+
+    p = sub.add_parser("splitbampercell", help="one BAM per cell")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("-O", "--OUTDIR", required=True)
+    p.add_argument("-C", "--CSV", required=True)
+
+    p = sub.add_parser("splitbampercluster", help="one BAM per cluster "
+                       "(csv: barcode,cluster)")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("-O", "--OUTDIR", required=True)
+    p.add_argument("-C", "--CSV", required=True)
+
+    p = sub.add_parser("moleculecounter", help="count distinct (BC,U8)")
+    p.add_argument("-I", "--INPUT", required=True)
+
+    p = sub.add_parser("exportmoleculereads",
+                       help="fastq of listed molecules' reads")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("-C", "--CSV", required=True, help="csv: barcode,umi")
+    p.add_argument("-O", "--OUTPUT", required=True)
+
+    p = sub.add_parser("addreadstomolecules",
+                       help="merge targeted reads into standard molecules")
+    p.add_argument("-I", "--INPUT", required=True, help="standard BAM")
+    p.add_argument("-T", "--TARGETED", required=True)
+    p.add_argument("-O", "--OUTPUT", required=True)
+
+    p = sub.add_parser("haplotypecaller",
+                       help="per-isoform evidence fasta export")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("-O", "--OUTDIR", required=True)
+
+    p = sub.add_parser("junctionannotate",
+                       help="GT-AG donor/acceptor annotation from genome")
+    p.add_argument("-R", "--REFFLAT", required=True)
+    p.add_argument("-G", "--GENOME", required=True)
+    p.add_argument("-O", "--OUTPUT", required=True)
+
     p = sub.add_parser("samview", help="SAM <-> BAM conversion "
                        "(samtools-view role)")
     p.add_argument("-I", "--INPUT", required=True)
@@ -338,6 +403,57 @@ def cmd_simple(args) -> int:
         from sicelore_tpu.io.bam import sort_bam
         sort_bam(args.INPUT, args.OUTPUT)
         r = {"sorted": True}
+    elif args.cmd == "selectvalidcellbarcode":
+        from sicelore_tpu.pipeline import programs2
+        r = programs2.select_valid_cell_barcode(args.INPUT, args.OUTPUT,
+                                                args.MINUMI,
+                                                args.ED0ED1RATIO)
+    elif args.cmd == "filterbammf":
+        from sicelore_tpu.pipeline import programs2
+        r = programs2.filter_bam_mf(args.INPUT, args.OUTPUT)
+    elif args.cmd == "filtermoleculebam":
+        from sicelore_tpu.pipeline import programs2
+        r = programs2.filter_molecule_bam(args.INPUT, args.OUTPUT,
+                                          min_rn=args.MINRN,
+                                          require_isoform=args.ISOONLY)
+    elif args.cmd == "cleanusuq":
+        from sicelore_tpu.pipeline import programs2
+        r = programs2.clean_usuq(args.INPUT, args.OUTPUT)
+    elif args.cmd == "exportumifoundrecords":
+        from sicelore_tpu.pipeline import programs2
+        r = programs2.export_umifound_records(args.INPUT, args.OUTPUT)
+    elif args.cmd == "addlabel2barcode":
+        from sicelore_tpu.pipeline import programs2
+        r = programs2.add_label_to_barcode(args.INPUT, args.OUTPUT,
+                                           args.LABEL)
+    elif args.cmd == "splitbam":
+        from sicelore_tpu.pipeline import programs2
+        r = programs2.split_bam(args.INPUT, args.OUTPUT, args.IDS)
+    elif args.cmd == "splitbampercell":
+        from sicelore_tpu.pipeline import programs
+        r = programs.split_bam_per_cell(args.INPUT, args.OUTDIR, args.CSV)
+    elif args.cmd == "splitbampercluster":
+        from sicelore_tpu.pipeline import programs2
+        r = programs2.split_bam_per_cluster(args.INPUT, args.OUTDIR,
+                                            args.CSV)
+    elif args.cmd == "moleculecounter":
+        from sicelore_tpu.pipeline import programs2
+        r = programs2.molecule_counter(args.INPUT)
+    elif args.cmd == "exportmoleculereads":
+        from sicelore_tpu.pipeline import programs2
+        r = programs2.export_molecule_reads(args.INPUT, args.CSV,
+                                            args.OUTPUT)
+    elif args.cmd == "addreadstomolecules":
+        from sicelore_tpu.pipeline import programs2
+        r = programs2.add_reads_to_molecules(args.INPUT, args.TARGETED,
+                                             args.OUTPUT)
+    elif args.cmd == "haplotypecaller":
+        from sicelore_tpu.pipeline import programs2
+        r = programs2.haplotype_caller(args.INPUT, args.OUTDIR)
+    elif args.cmd == "junctionannotate":
+        from sicelore_tpu.pipeline import programs2
+        r = programs2.junction_annotate(args.REFFLAT, args.GENOME,
+                                        args.OUTPUT)
     elif args.cmd == "samview":
         from sicelore_tpu.io import sam as _sam
         if str(args.INPUT).endswith(".bam"):
@@ -394,7 +510,11 @@ _SIMPLE = {"tagbamwithread", "deduplicatemolecule", "addbammoleculetags",
            "fusiondetector", "exportclippedreads", "addbamreadtags",
            "sortbam", "collapsemodel", "histo", "saturationcurve",
            "readbamstats", "exporteditdistances", "bulk2fakesinglecell",
-           "samview", "run"}
+           "samview", "run", "selectvalidcellbarcode", "filterbammf",
+           "filtermoleculebam", "cleanusuq", "exportumifoundrecords",
+           "addlabel2barcode", "splitbam", "splitbampercell",
+           "splitbampercluster", "moleculecounter", "exportmoleculereads",
+           "addreadstomolecules", "haplotypecaller", "junctionannotate"}
 
 
 def main(argv=None) -> int:

@@ -1,0 +1,301 @@
+"""Remaining reference utility programs (second batch).
+
+Host-side stream-rewrite programs completing the reference's program
+inventory (reference paths cited per function; all are Picard-CLI one-
+screeners in /root/reference/src/main/java/org/ipmc/sicelore/programs/).
+"""
+from __future__ import annotations
+
+import json
+from collections import defaultdict
+from pathlib import Path
+
+from sicelore_tpu.io import fastq
+from sicelore_tpu.io.bam import BamReader, BamWriter
+
+
+def select_valid_cell_barcode(input_tsv, output_csv, min_umi: int = 1,
+                              ed0ed1_ratio: float = 1.0):
+    """SelectValidCellBarcode (programs/SelectValidCellBarcode.java:40-87):
+    filter BarcodesAssigned.tsv on nUMI >= MINUMI and ED0/ED1 >= ratio.
+    NOTE: the reference computes ED0/ED1 with Java INTEGER division before
+    the >= compare — reproduced here deliberately."""
+    total = kept = 0
+    with open(output_csv, "w") as os_:
+        with open(input_tsv) as fh:
+            next(fh, None)  # header
+            for line in fh:
+                line = line.replace(",", "").rstrip("\n")
+                if not line:
+                    continue
+                tab = line.split("\t")
+                total += 1
+                total_umi = int(tab[1])
+                ed0 = int(tab[2]) if len(tab) > 2 and tab[2] else 0
+                ed1 = int(tab[3]) if len(tab) > 3 and tab[3] else 0
+                if ed1 == 0:
+                    ed1 = 1
+                if total_umi >= min_umi and (ed0 // ed1) >= ed0ed1_ratio:
+                    kept += 1
+                    os_.write(tab[0] + "\n")
+    return {"total_barcodes": total, "kept_barcodes": kept}
+
+
+def filter_bam_mf(in_bam, out_bam):
+    """FilterBamMF: drop mapqv==0 records, keep everything else."""
+    n = kept = 0
+    with BamReader(in_bam) as rd, BamWriter(out_bam, rd.header) as w:
+        for r in rd:
+            n += 1
+            if r.mapq == 0:
+                continue
+            kept += 1
+            w.write(r)
+    return {"records": n, "kept": kept}
+
+
+def filter_molecule_bam(in_bam, out_bam, min_rn: int = 1,
+                        require_isoform: bool = False, rn_tag="RN",
+                        it_tag="IT"):
+    """FilterMoleculeBam: keep molecules by UMI depth (RN >= MINRN) and
+    optionally only isoform-defined records (IT != undef)."""
+    n = kept = 0
+    with BamReader(in_bam) as rd, BamWriter(out_bam, rd.header) as w:
+        for r in rd:
+            n += 1
+            rn = int(r.get_tag(rn_tag) or 1)
+            if rn < min_rn:
+                continue
+            if require_isoform and (r.get_tag(it_tag) in (None, "undef")):
+                continue
+            kept += 1
+            w.write(r)
+    return {"records": n, "kept": kept}
+
+
+def add_label_to_barcode(in_bam, out_bam, label: str, cell_tag="BC"):
+    """AddLabel2Barcode: BC -> label_BC (sample multiplexing)."""
+    n = 0
+    with BamReader(in_bam) as rd, BamWriter(out_bam, rd.header) as w:
+        for r in rd:
+            bc = r.get_tag(cell_tag)
+            if bc is not None:
+                r.set_tag(cell_tag, f"{label}_{bc}", "Z")
+                n += 1
+            w.write(r)
+    return {"relabeled": n}
+
+
+def clean_usuq(in_bam, out_bam, tags=("US", "UQ", "QS")):
+    """CleanUSUQ: strip bulky read-sequence tags."""
+    n = 0
+    with BamReader(in_bam) as rd, BamWriter(out_bam, rd.header) as w:
+        for r in rd:
+            before = len(r.tags)
+            r.tags = [t for t in r.tags if t[0] not in tags]
+            n += before - len(r.tags)
+            w.write(r)
+    return {"tags_removed": n}
+
+
+def split_bam(in_bam, out_bam, read_ids_file):
+    """SplitBam: export records whose read names are in the given list."""
+    ids = {l.strip() for l in open(read_ids_file) if l.strip()}
+    n = kept = 0
+    with BamReader(in_bam) as rd, BamWriter(out_bam, rd.header) as w:
+        for r in rd:
+            n += 1
+            if r.qname in ids:
+                kept += 1
+                w.write(r)
+    return {"records": n, "kept": kept}
+
+
+def split_bam_per_cluster(in_bam, out_dir, cluster_csv, cell_tag="BC",
+                          prefix="cluster"):
+    """SplitBamPerCluster: csv `barcode,cluster` -> one BAM per cluster."""
+    clusters: dict[str, str] = {}
+    for line in open(cluster_csv):
+        line = line.strip()
+        if not line:
+            continue
+        parts = line.replace("-1", "").split(",")
+        if len(parts) >= 2:
+            clusters[parts[0]] = parts[1]
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    with BamReader(in_bam) as rd:
+        writers: dict[str, BamWriter] = {}
+        n = 0
+        for r in rd:
+            bc = (r.get_tag(cell_tag) or "").replace("-1", "")
+            cl = clusters.get(bc)
+            if cl is None:
+                continue
+            if cl not in writers:
+                writers[cl] = BamWriter(out_dir / f"{prefix}_{cl}.bam",
+                                        rd.header)
+            writers[cl].write(r)
+            n += 1
+        for w in writers.values():
+            w.close()
+    return {"written": n, "clusters": len(writers)}
+
+
+def molecule_counter(in_bam, cell_tag="BC", umi_tag="U8"):
+    """MoleculeCounter: distinct (cellBC, UMI) pairs."""
+    seen = set()
+    n = 0
+    with BamReader(in_bam) as rd:
+        for r in rd:
+            n += 1
+            bc, u8 = r.get_tag(cell_tag), r.get_tag(umi_tag)
+            if bc and u8:
+                seen.add((bc, u8))
+    return {"records": n, "molecules": len(seen)}
+
+
+def export_umifound_records(in_bam, out_bam, cell_tag="BC", umi_tag="U8"):
+    """ExportUMIFoundRecords: keep records with both BC and U8 set."""
+    n = kept = 0
+    with BamReader(in_bam) as rd, BamWriter(out_bam, rd.header) as w:
+        for r in rd:
+            n += 1
+            if r.get_tag(cell_tag) is not None and \
+                    r.get_tag(umi_tag) is not None:
+                kept += 1
+                w.write(r)
+    return {"records": n, "kept": kept}
+
+
+def export_molecule_reads(in_bam, molecules_csv, out_fastq, cell_tag="BC",
+                          umi_tag="U8", seq_tag="US", qual_tag="QS"):
+    """ExportMoleculeReads: fastq of the reads of listed (BC,U8) molecules."""
+    wanted = set()
+    for line in open(molecules_csv):
+        parts = line.strip().replace("-1", "").split(",")
+        if len(parts) >= 2:
+            wanted.add((parts[0], parts[1]))
+    n = 0
+    with BamReader(in_bam) as rd, fastq.FastqWriter(out_fastq) as w:
+        for r in rd:
+            key = (r.get_tag(cell_tag), r.get_tag(umi_tag))
+            if key in wanted:
+                seq = r.get_tag(seq_tag) or r.seq
+                qual = r.get_tag(qual_tag)
+                qb = (qual.encode() if qual
+                      else (bytes(q + 33 for q in r.qual) if r.qual
+                            else b"I" * len(seq)))
+                w.write(f"{r.qname}_{key[0]}_{key[1]}".encode(),
+                        seq.encode() if isinstance(seq, str) else seq, qb)
+                n += 1
+    return {"exported": n}
+
+
+def add_reads_to_molecules(std_bam, targeted_bam, out_bam, cell_tag="BC",
+                           umi_tag="U8"):
+    """AddReadsToMolecules: merge targeted-experiment records into the
+    molecules present in the standard-experiment BAM."""
+    molecules = set()
+    with BamReader(std_bam) as rd:
+        header = rd.header
+        for r in rd:
+            bc, u8 = r.get_tag(cell_tag), r.get_tag(umi_tag)
+            if bc and u8:
+                molecules.add((bc, u8))
+    n = added = 0
+    with BamWriter(out_bam, header) as w:
+        with BamReader(std_bam) as rd:
+            for r in rd:
+                w.write(r)
+                n += 1
+        with BamReader(targeted_bam) as rd:
+            for r in rd:
+                key = (r.get_tag(cell_tag), r.get_tag(umi_tag))
+                if key in molecules:
+                    w.write(r)
+                    added += 1
+    return {"standard": n, "added_targeted": added}
+
+
+def haplotype_caller(in_bam, outdir, cell_tag="BC", umi_tag="U8",
+                     ig_tag="IG", it_tag="IT", seq_tag="CS", min_rn=1):
+    """HaplotypeCaller (programs/HaplotypeCaller.java:95-136): export per-
+    isoform molecule-evidence fasta for downstream phasing (no calling in
+    the reference either)."""
+    outdir = Path(outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    by_iso: dict[str, list] = defaultdict(list)
+    with BamReader(in_bam) as rd:
+        for r in rd:
+            ig, it = r.get_tag(ig_tag), r.get_tag(it_tag)
+            if not ig or not it or it == "undef":
+                continue
+            seq = r.get_tag(seq_tag) or r.seq
+            if not seq:
+                continue
+            name = f"{r.get_tag(cell_tag)}-{r.get_tag(umi_tag)}"
+            by_iso[f"{ig}_{it}"].append((name, seq))
+    n = 0
+    for iso, entries in by_iso.items():
+        safe = iso.replace("/", "_")
+        with open(outdir / f"{safe}.fa", "w") as fh:
+            for name, seq in entries:
+                fh.write(f">{name}\n{seq}\n")
+                n += 1
+    return {"isoforms": len(by_iso), "sequences": n}
+
+
+def junction_annotate(refflat_or_junctions, genome_fa, out_tsv, delta=0):
+    """JunctionAnnotate (programs/JunctionAnnotate.java): donor/acceptor
+    dinucleotides (GT..AG canonical) from the genome fasta for every
+    junction of a refFlat model."""
+    from sicelore_tpu.core.refflat import RefFlatModel
+    genome = _load_fasta(genome_fa)
+    model = RefFlatModel.load(refflat_or_junctions)
+    n = canonical = 0
+    with open(out_tsv, "w") as fh:
+        fh.write("geneId\ttranscriptId\tchrom\tjunction\tdonor\tacceptor"
+                 "\tcanonical\n")
+        for gene, trs in model.by_gene.items():
+            for t in trs:
+                seq = genome.get(t.chrom)
+                if seq is None:
+                    continue
+                for (d, a) in t.junctions.tolist():
+                    # intron = [d+1 .. a-1] 1-based; donor = first 2 intron
+                    # bases, acceptor = last 2
+                    donor = seq[d:d + 2].upper()
+                    acceptor = seq[a - 3:a - 1].upper()
+                    if t.strand == "-":
+                        donor, acceptor = (_rc(acceptor), _rc(donor))
+                    is_can = donor == "GT" and acceptor == "AG"
+                    canonical += is_can
+                    n += 1
+                    fh.write(f"{gene}\t{t.transcript_id}\t{t.chrom}\t"
+                             f"{d}-{a}\t{donor}\t{acceptor}\t"
+                             f"{str(bool(is_can)).lower()}\n")
+    return {"junctions": n, "canonical": canonical}
+
+
+def _rc(s: str) -> str:
+    return s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+
+
+def _load_fasta(path) -> dict[str, str]:
+    import gzip
+    opener = gzip.open if str(path).endswith(".gz") else open
+    out: dict[str, str] = {}
+    name, chunks = None, []
+    with opener(str(path), "rt") as fh:
+        for line in fh:
+            if line.startswith(">"):
+                if name is not None:
+                    out[name] = "".join(chunks)
+                name = line[1:].split()[0].strip()
+                chunks = []
+            else:
+                chunks.append(line.strip())
+    if name is not None:
+        out[name] = "".join(chunks)
+    return out
