@@ -11,8 +11,19 @@ Reference CLI spec: /root/reference/README.md:146-330.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
+
+# honor JAX_PLATFORMS even though the environment pre-imports jax (the env
+# var alone is too late once the backend is initialized elsewhere)
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
 
 
 def _add_scanfastq(sub):
@@ -29,6 +40,8 @@ def _add_scanfastq(sub):
                    help="10x whitelist file (3M-february-2018.txt.gz / 737K)")
     p.add_argument("-e", "--randomBarcode", action="store_true",
                    help="negative control: replace BC windows with random seq")
+    p.add_argument("-5", "--fivePbc", action="store_true",
+                   help="5' barcoding chemistry (reference -h/--fivePbc)")
     p.add_argument("-c", "--compress", action="store_true")
     p.add_argument("-v", "--pattern", default=r".{1,}\.(fastq|fq)(\.gz)?$")
     p.add_argument("--config", default=None, help="reference-format config.xml")
@@ -46,6 +59,8 @@ def _add_assignumis(sub):
     p.add_argument("-o", "--outfile", required=True)
     p.add_argument("-a", "--annotationFile", default=None,
                    help="refFlat for GE gene tagging + genecounts")
+    p.add_argument("-f", "--randomUMI", action="store_true",
+                   help="negative control: random UMI sequences")
     p.add_argument("--config", default=None)
     return p
 
@@ -57,7 +72,8 @@ def cmd_assignumis(args) -> int:
     from sicelore_tpu.utils.config import PipelineConfig, load_config_xml
 
     cfg = load_config_xml(args.config) if args.config else PipelineConfig()
-    pipe = AssignUmisPipeline(cfg, refflat=args.annotationFile)
+    pipe = AssignUmisPipeline(cfg, refflat=args.annotationFile,
+                              random_umi=args.randomUMI)
     out = _P(args.outfile)
     stats = pipe.run(args.inFileNanopore, out,
                      genecounts_tsv=out.with_suffix("").with_name(
@@ -144,6 +160,8 @@ def cmd_scanfastq(args) -> int:
     from sicelore_tpu.utils.config import PipelineConfig, load_config_xml
 
     cfg = load_config_xml(args.config) if args.config else PipelineConfig()
+    if args.fivePbc:
+        cfg.chemistry = "5p"
     if args.cellRangerBCs:
         bcs = [l.strip().split("-")[0] for l in open(args.cellRangerBCs)
                if l.strip()]

@@ -145,8 +145,9 @@ def make_edge_scan_fn(cfg: PipelineConfig):
     lengths (min(true_len, 2*EDGE)).
     """
     p = cfg.polyat
-    a = cfg.adapter3p
-    t = cfg.tso3p
+    is5p = getattr(cfg, "chemistry", "3p") == "5p"
+    a = cfg.adapter5p if is5p else cfg.adapter3p
+    t = cfg.tso5p if is5p else cfg.tso3p
     bc_len = cfg.barcodes.cell_bc_length
     pad = cfg.readscanner.test_plus_minus_pos
     k = p.polyat_length
@@ -173,10 +174,19 @@ def make_edge_scan_fn(cfg: PipelineConfig):
             window=p.window_search_for_polya, from_end=False)
 
         # ---- adapter search, unified sense-orientation window ----
-        # FWD: rc window after polyA end -> [rc(tail) adapter BC UMI]
-        w_fwd = gather_window(seqs, lens, fwd_pe + 1, awin, rc=True)
-        # REV: window before polyT start -> [head adapter BC UMI]
-        w_rev = gather_window(seqs, lens, rev_ts - awin, awin, rc=False)
+        if is5p:
+            # 5' chemistry: adapter-BC-UMI-TSO at the stranded 5' START
+            # (config.xml:120-134). FWD: read head as-is; REV: rc of the
+            # read tail — both windows carry adapter+BC in sense orientation
+            # at stranded offset 0.
+            w_fwd = gather_window(seqs, lens, jnp.zeros_like(lens), awin)
+            w_rev = gather_window(seqs, lens, lens - awin, awin, rc=True)
+        else:
+            # 3' chemistry. FWD: rc window after polyA end ->
+            # [rc(tail) adapter BC UMI]
+            w_fwd = gather_window(seqs, lens, fwd_pe + 1, awin, rc=True)
+            # REV: window before polyT start -> [head adapter BC UMI]
+            w_rev = gather_window(seqs, lens, rev_ts - awin, awin, rc=False)
         # one stacked sweep for both hypotheses
         ed2, pos2 = scan.adapter_search(
             jnp.concatenate([w_fwd, w_rev], axis=0), peq_ad, m_ad)
@@ -202,12 +212,17 @@ def make_edge_scan_fn(cfg: PipelineConfig):
         pe = jnp.where(has_pat, pe, -1)
 
         # AE: last adapter base before the BC, stranded coords.
-        # FWD window w' maps w'[i] <- read[pe + awin - i]; adapter match end
-        # at i_e -> AE = pe + awin - i_e (first rcAdapter base in read).
-        # REV window starts at rev_ts - awin; stranded pos of orig q is
-        # len-1-q -> AE = len-1-(rev_ts-awin+i_e).
-        ae = jnp.where(is_fwd, fwd_pe + awin - pos_f,
-                       lens - 1 - (rev_ts - awin + pos_r))
+        if is5p:
+            # both 5p windows start at stranded offset 0 in sense
+            # orientation: AE = match end position directly
+            ae = jnp.where(is_fwd, pos_f, pos_r)
+        else:
+            # FWD window w' maps w'[i] <- read[pe + awin - i]; adapter match
+            # end at i_e -> AE = pe + awin - i_e (first rcAdapter base in
+            # read). REV window starts at rev_ts - awin; stranded pos of
+            # orig q is len-1-q -> AE = len-1-(rev_ts-awin+i_e).
+            ae = jnp.where(is_fwd, fwd_pe + awin - pos_f,
+                           lens - 1 - (rev_ts - awin + pos_r))
         ad_ed = jnp.where(is_fwd, ed_f, ed_r)
         ad_pos_local = jnp.where(is_fwd, pos_f, pos_r)
         ae = jnp.where(stranded, ae, -1)
@@ -226,17 +241,26 @@ def make_edge_scan_fn(cfg: PipelineConfig):
         bc_windows = gather_window(w_used, jnp.full((B,), awin, jnp.int32),
                                    bc_start_local, bc_win, rc=False)
 
-        # ---- TSO in the stranded 5' window ----
-        w5_f = gather_window(seqs, lens, jnp.zeros((B,), jnp.int32), twin)
-        w5_r = gather_window(seqs, lens, lens - twin, twin, rc=True)
+        # ---- TSO search ----
+        # 3p: stranded 5' start window; 5p: after adapter+BC (UMI then TSO,
+        # config.xml:174-176 "the sequence after the UMI, just before cDNA")
+        t0 = (ae + 1 + bc_len) if is5p else jnp.zeros_like(lens)
+        w5_f = gather_window(seqs, lens, t0, twin)
+        w5_r = gather_window(seqs, lens, lens - twin - t0, twin, rc=True)
         w5 = jnp.where(is_fwd[:, None], w5_f, w5_r)
         tso_ed, tso_pos = scan.adapter_search(w5, peq_tso, m_tso)
         tso_found = tso_ed <= t.max_needleman_mismatches
-        tso_end = jnp.where(tso_found, tso_pos + (t.offset_tso_end - 1), -1)
+        tso_end = jnp.where(tso_found,
+                            t0 + tso_pos + (t.offset_tso_end - 1), -1)
 
-        # X region: stranded [ae - x_len + nbases, ae + nbases - 1]
-        xs_str = ae - (x_len - nbases)
-        xe_str = ae + nbases - 1
+        # X region: 3p stranded [ae - 40, ae + nbases - 1];
+        # 5p [ae - nbases + 1, ae + 40] (adapter tail + BC + UMI + TSO head)
+        if is5p:
+            xs_str = ae - nbases + 1
+            xe_str = ae + (x_len - nbases)
+        else:
+            xs_str = ae - (x_len - nbases)
+            xe_str = ae + nbases - 1
 
         return {
             "is_fwd": is_fwd, "stranded": stranded, "has_polyat": has_pat,
@@ -297,7 +321,7 @@ def unpack_edge_meta(meta: np.ndarray) -> dict:
 
 
 def compute_qvs_np(qv: np.ndarray, lens: np.ndarray, out: dict,
-                   bc_len: int) -> None:
+                   bc_len: int, is5p: bool = False) -> None:
     """Host-side QV means (read/X-region/BC-region) via one prefix-sum +
     boundary gathers — mirrors the former device `_mean_qv` /
     `_window_mean_qv` math; adds read_qv/x_qv/bc_qv to `out`."""
@@ -323,7 +347,10 @@ def compute_qvs_np(qv: np.ndarray, lens: np.ndarray, out: dict,
                 / n).astype(np.float32)
 
     out["x_qv"] = window_mean(out["x_start"], out["x_end"])
-    out["bc_qv"] = window_mean(ae - bc_len, ae - 1)
+    if is5p:  # BC right AFTER the adapter end in 5' chemistry
+        out["bc_qv"] = window_mean(ae + 1, ae + bc_len)
+    else:
+        out["bc_qv"] = window_mean(ae - bc_len, ae - 1)
 
 
 def make_internal_scan_fn(cfg: PipelineConfig, max_sites: int = 4):
@@ -479,7 +506,11 @@ class ReadScanModel:
 
     def __init__(self, cfg: PipelineConfig | None = None):
         self.cfg = cfg or PipelineConfig()
-        a, t = self.cfg.adapter3p, self.cfg.tso3p
+        self.is5p = getattr(self.cfg, "chemistry", "3p") == "5p"
+        if self.is5p:
+            a, t = self.cfg.adapter5p, self.cfg.tso5p
+        else:
+            a, t = self.cfg.adapter3p, self.cfg.tso3p
         self.peq_ad = jnp.asarray(editdist.build_peq(dna.encode(a.sequence)[None, :]))
         self.peq_adc = jnp.asarray(
             editdist.build_peq(dna.encode(a.sequence_complete)[None, :]))
@@ -520,7 +551,7 @@ class ReadScanModel:
         out = {k: v[..., :B] if v.ndim == 1 else v[:B]
                for k, v in out.items()}
         compute_qvs_np(np.asarray(quals, dtype=np.int8), lens, out,
-                       self.cfg.barcodes.cell_bc_length)
+                       self.cfg.barcodes.cell_bc_length, self.is5p)
         return out
 
     def scan_reads(self, seqs: list[bytes], quals: list[bytes]):
@@ -565,7 +596,8 @@ class ReadScanModel:
         out = unpack_edge_meta(np.asarray(meta))
         out = {k: v[..., :B] for k, v in out.items()}
         # QVs from the composite qual matrix, in composite coords
-        compute_qvs_np(qv, comp_lens, out, self.cfg.barcodes.cell_bc_length)
+        compute_qvs_np(qv, comp_lens, out, self.cfg.barcodes.cell_bc_length,
+                       self.is5p)
         for key in ("ps", "pe", "ae", "x_start", "x_end"):
             out[key] = remap_composite(out[key], true_lens)
         out["true_lens"] = true_lens

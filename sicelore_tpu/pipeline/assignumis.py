@@ -59,8 +59,13 @@ class UmiStats:
 class AssignUmisPipeline:
     def __init__(self, cfg: PipelineConfig | None = None,
                  refflat: str | Path | None = None,
-                 chunk_size: int | None = None):
+                 chunk_size: int | None = None,
+                 random_umi: bool = False, seed: int = 0):
         self.cfg = cfg or PipelineConfig()
+        # -f/--randomUMI negative control: replace UMI candidates with
+        # random bases to measure false clustering (README.md:747-751)
+        self.random_umi = random_umi
+        self._rng = __import__("numpy").random.default_rng(seed)
         self.chunk_size = chunk_size or self.cfg.barcode_umi_finder.sam_records_chunk_size
         self.tagger = None
         if refflat is not None:
@@ -86,13 +91,29 @@ class AssignUmisPipeline:
         if rec.is_reverse:
             seq = dna.revcomp_bytes(seq)
             qual = qual[::-1] if qual else qual
-        # UMI candidate between polyA end and barcode end (stranded coords):
-        # [PE+1, bcEnd-1]; bcEnd = AE - bc_len (README.md:418-446 geometry)
-        ub, ue = info.pe + 1, (info.bc_end or 0) - 1
+        if (info.bc_start is not None and info.bc_end is not None
+                and info.bc_start < info.bc_end):
+            # 5' chemistry (ascending BC coords): UMI between the BC end and
+            # the TSO start (config.xml:174-176)
+            ub = info.bc_end + 1
+            if info.tso_end is not None and info.tso_end > ub:
+                tso_start = info.tso_end - (
+                    len(self.cfg.tso5p.sequence) - 1)
+                ue = max(tso_start - 1, ub)
+            else:
+                ue = ub + self.cfg.umis.umi_length - 1
+        else:
+            # 3' chemistry: UMI between polyA end and barcode end (stranded
+            # coords): [PE+1, bcEnd-1]; bcEnd = AE - bc_len
+            # (README.md:418-446 geometry)
+            ub, ue = info.pe + 1, (info.bc_end or 0) - 1
         if ue <= ub or ue >= len(seq):
             self.stats.umi_too_short += 1
             return (info, b"", 0.0, ub, ue)
         umi = seq[ub:ue + 1]
+        if self.random_umi:
+            umi = bytes(b"ACGT"[i]
+                        for i in self._rng.integers(0, 4, len(umi)))
         qv = 0.0
         if qual and ue < len(qual):
             qv = sum(qual[ub:ue + 1]) / max(len(umi), 1)

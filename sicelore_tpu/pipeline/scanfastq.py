@@ -304,6 +304,15 @@ class ScanFastqPipeline:
         chunk = self.split_chimeras(chunk)
         out = self.model.scan_reads(chunk.seqs, chunk.quals)
         n = len(chunk)
+        if self.used_peq is None:
+            # empty used-barcode list (e.g. wrong chemistry / no pass-1
+            # hits): nothing can be assigned
+            bc = {"ed": np.full(n, BIG, np.int64),
+                  "idx": np.zeros(n, np.int64),
+                  "ed2": np.full(n, editdist.INT_MAX, np.int64),
+                  "end_pos": np.full(n, -1, np.int64)}
+            self.pass2_emit(chunk, out, bc, passed, failed)
+            return
         wins = out["bc_windows"]
         if self.random_barcode:
             wins = self.rng.integers(0, 4, wins.shape).astype(np.int8)
@@ -362,7 +371,11 @@ class ScanFastqPipeline:
                 ps=int(out["ps"][i]), pe=int(out["pe"][i]), ae=ae,
                 bc=self.used_strs[bi], ed=ed,
                 ed_sec=int(bc_ed2[i]),
-                bc_start=ae - 1, bc_end=ae - bc_len,
+                # 3p: BC upstream of the adapter (descending coords);
+                # 5p: BC right after the adapter (ascending)
+                bc_start=(ae + 1 if self.cfg.chemistry == "5p" else ae - 1),
+                bc_end=(ae + bc_len if self.cfg.chemistry == "5p"
+                        else ae - bc_len),
                 rank=int(self.ranks[bi]),
                 x_seq=x_seq, x_qv=float(out["x_qv"][i]),
                 tso_end=int(out["tso_end"][i]) if out["tso_end"][i] >= 0 else None,

@@ -165,6 +165,9 @@ DEFAULT_SAM_TAGS: dict[str, str] = {
 
 @dataclass
 class PipelineConfig:
+    # "3p" (default) or "5p" barcoding chemistry (reference -h/--fivePbc;
+    # 5': adapter-BC-UMI-TSO at the stranded read 5' start, config.xml:120-185)
+    chemistry: str = "3p"
     general: GeneralConfig = field(default_factory=GeneralConfig)
     readscanner: ReadScannerConfig = field(default_factory=ReadScannerConfig)
     barcode_umi_finder: BarcodeUMIFinderConfig = field(default_factory=BarcodeUMIFinderConfig)

@@ -75,6 +75,22 @@ def make_read(rng: np.random.Generator, bc: str, umi: str | None = None,
     }
 
 
+def make_read_5p(rng: np.random.Generator, bc: str, umi: str | None = None,
+                 cdna_len: int = 400, polya_len: int = 20,
+                 error_rate: float = 0.0, reverse: bool = False,
+                 qual_char: str = "I") -> dict:
+    """5' chemistry read: ADAPTER BC UMI TSO cDNA polyA rc(3'adapter)
+    (config.xml:120-185)."""
+    umi = umi if umi is not None else random_seq(rng, 12)
+    cdna = random_seq(rng, cdna_len)
+    stranded = (ADAPTER + bc + umi + TSO + cdna + "A" * polya_len
+                + dna.revcomp_str("AAGCAGTGGTATCAACGCAGAGTAC"))
+    stranded = mutate(rng, stranded, error_rate)
+    seq = dna.revcomp_str(stranded) if reverse else stranded
+    return {"seq": seq.encode(), "qual": (qual_char * len(seq)).encode(),
+            "bc": bc, "umi": umi, "reverse": reverse}
+
+
 def make_chimera(rng: np.random.Generator, bc1: str, bc2: str, **kw) -> dict:
     """Two molecules fused head-to-tail (split-candidate fixture)."""
     r1 = make_read(rng, bc1, reverse=False, **kw)

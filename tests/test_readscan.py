@@ -98,6 +98,52 @@ def test_unstranded_garbage(model):
     assert float(np.mean(out["stranded"])) < 0.3
 
 
+def test_5p_chemistry_geometry():
+    from sicelore_tpu.utils.config import PipelineConfig
+    cfg = PipelineConfig(chemistry="5p")
+    m5 = ReadScanModel(cfg)
+    rng = np.random.default_rng(7)
+    bc = synth.random_seq(rng, 16)
+    for reverse in (False, True):
+        r = synth.make_read_5p(rng, bc, umi="ACGTACGTACGC", cdna_len=300,
+                               polya_len=18, reverse=reverse)
+        seqs, quals, lens = synth.reads_to_batch([r], 1024)
+        out = m5(seqs, quals, lens)
+        assert bool(out["stranded"][0])
+        assert bool(out["is_fwd"][0]) == (not reverse)
+        # layout: ADAPTER(22) BC(16) UMI(12) TSO(16) cDNA(300) polyA(18)...
+        assert int(out["ae"][0]) == 21  # last adapter base
+        w = dna.decode(out["bc_windows"][0]).replace(".", "")
+        assert bc in w
+        assert int(out["tso_end"][0]) == 21 + 16 + 12 + 16  # last TSO base
+        ps = int(out["ps"][0])
+        # PS absorbs trailing cDNA A's (indistinguishable from polyA)
+        assert abs(ps - (22 + 16 + 12 + 16 + 300)) <= 5
+
+
+def test_5p_noisy_bc_recovery():
+    from sicelore_tpu.utils.config import PipelineConfig
+    from sicelore_tpu.ops import editdist
+    import jax.numpy as jnp
+    cfg = PipelineConfig(chemistry="5p")
+    m5 = ReadScanModel(cfg)
+    rng = np.random.default_rng(8)
+    wl = synth.make_whitelist(rng, 32)
+    idx = rng.integers(0, 32, 24)
+    reads = [synth.make_read_5p(rng, wl[t], error_rate=0.06,
+                                reverse=bool(i % 2))
+             for i, t in enumerate(idx)]
+    seqs, quals, lens = synth.reads_to_batch(
+        reads, bucket_length(max(len(r["seq"]) for r in reads)))
+    out = m5(seqs, quals, lens)
+    pats, _ = dna.encode_batch([w.encode() for w in wl], 16)
+    ed, _ = editdist.myers_sweep(jnp.asarray(out["bc_windows"]),
+                                 jnp.asarray(editdist.build_peq(pats)), 16)
+    got = np.argmin(np.asarray(ed), axis=1)
+    ok = (got == idx) & np.asarray(out["stranded"])
+    assert ok.mean() > 0.85, ok.mean()
+
+
 def test_internal_sites_chimera(model):
     rng = np.random.default_rng(5)
     wl = synth.make_whitelist(rng, 4)
