@@ -316,6 +316,33 @@ def _add_simple_programs(sub):
     p.add_argument("-I", "--INPUT", required=True)
     p.add_argument("-O", "--OUTDIR", required=True)
 
+    p = sub.add_parser("annotatemodel",
+                       help="re-validate a CollapseModel txt")
+    p.add_argument("-M", "--MODEL", required=True, help="CollapseModel txt")
+    p.add_argument("-I", "--INPUT", default=None, help="short-read BAM")
+    p.add_argument("--CAGE", default=None)
+    p.add_argument("--POLYA", default=None)
+    p.add_argument("-O", "--OUTPUT", required=True)
+
+    p = sub.add_parser("junctionvalidator",
+                       help="classify a junction table vs refFlat")
+    p.add_argument("-I", "--INPUT", required=True, help="junction tsv")
+    p.add_argument("-R", "--REFFLAT", required=True)
+    p.add_argument("-O", "--OUTPUT", required=True)
+    p.add_argument("--SHORT", default=None)
+
+    p = sub.add_parser("snpmatrix3pend",
+                       help="SNV distance to isoform 3' end")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("-S", "--SNP", required=True)
+    p.add_argument("-R", "--REFFLAT", required=True)
+    p.add_argument("-O", "--OUTPUT", required=True)
+
+    p = sub.add_parser("addisobam", help="merge IG/IT tags by (BC,U8)")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("--ISOBAM", required=True)
+    p.add_argument("-O", "--OUTPUT", required=True)
+
     p = sub.add_parser("junctionannotate",
                        help="GT-AG donor/acceptor annotation from genome")
     p.add_argument("-R", "--REFFLAT", required=True)
@@ -468,6 +495,21 @@ def cmd_simple(args) -> int:
     elif args.cmd == "haplotypecaller":
         from sicelore_tpu.pipeline import programs2
         r = programs2.haplotype_caller(args.INPUT, args.OUTDIR)
+    elif args.cmd == "annotatemodel":
+        from sicelore_tpu.pipeline import annotate
+        r = annotate.annotate_model(args.MODEL, args.INPUT, args.CAGE,
+                                    args.POLYA, args.OUTPUT)
+    elif args.cmd == "junctionvalidator":
+        from sicelore_tpu.pipeline import annotate
+        r = annotate.junction_validator(args.INPUT, args.REFFLAT,
+                                        args.OUTPUT, short_bam=args.SHORT)
+    elif args.cmd == "snpmatrix3pend":
+        from sicelore_tpu.pipeline import annotate
+        r = annotate.snp_matrix_3pend(args.INPUT, args.SNP, args.REFFLAT,
+                                      args.OUTPUT)
+    elif args.cmd == "addisobam":
+        from sicelore_tpu.pipeline import annotate
+        r = annotate.add_isobam(args.INPUT, args.ISOBAM, args.OUTPUT)
     elif args.cmd == "junctionannotate":
         from sicelore_tpu.pipeline import programs2
         r = programs2.junction_annotate(args.REFFLAT, args.GENOME,
@@ -532,7 +574,9 @@ _SIMPLE = {"tagbamwithread", "deduplicatemolecule", "addbammoleculetags",
            "filtermoleculebam", "cleanusuq", "exportumifoundrecords",
            "addlabel2barcode", "splitbam", "splitbampercell",
            "splitbampercluster", "moleculecounter", "exportmoleculereads",
-           "addreadstomolecules", "haplotypecaller", "junctionannotate"}
+           "addreadstomolecules", "haplotypecaller", "junctionannotate",
+           "annotatemodel", "junctionvalidator", "snpmatrix3pend",
+           "addisobam"}
 
 
 def main(argv=None) -> int:
