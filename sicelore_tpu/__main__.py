@@ -42,6 +42,11 @@ def _add_scanfastq(sub):
                    help="negative control: replace BC windows with random seq")
     p.add_argument("-5", "--fivePbc", action="store_true",
                    help="5' barcoding chemistry (reference -h/--fivePbc)")
+    p.add_argument("--demon", action="store_true",
+                   help="keep watching the input dirs for new fastq files "
+                        "(reference runningasdemon)")
+    p.add_argument("--pollInterval", type=float, default=30.0)
+    p.add_argument("--idleTimeout", type=float, default=600.0)
     p.add_argument("-c", "--compress", action="store_true")
     p.add_argument("-v", "--pattern", default=r".{1,}\.(fastq|fq)(\.gz)?$")
     p.add_argument("--config", default=None, help="reference-format config.xml")
@@ -61,6 +66,8 @@ def _add_assignumis(sub):
                    help="refFlat for GE gene tagging + genecounts")
     p.add_argument("-f", "--randomUMI", action="store_true",
                    help="negative control: random UMI sequences")
+    p.add_argument("--illumina", default=None,
+                   help="parseillumina table (json.gz) for guided mode")
     p.add_argument("--config", default=None)
     return p
 
@@ -72,8 +79,13 @@ def cmd_assignumis(args) -> int:
     from sicelore_tpu.utils.config import PipelineConfig, load_config_xml
 
     cfg = load_config_xml(args.config) if args.config else PipelineConfig()
+    illum = None
+    if args.illumina:
+        from sicelore_tpu.pipeline.illumina import GuidedUmiTable
+        illum = GuidedUmiTable(args.illumina)
     pipe = AssignUmisPipeline(cfg, refflat=args.annotationFile,
-                              random_umi=args.randomUMI)
+                              random_umi=args.randomUMI,
+                              illumina_table=illum)
     out = _P(args.outfile)
     stats = pipe.run(args.inFileNanopore, out,
                      genecounts_tsv=out.with_suffix("").with_name(
@@ -180,7 +192,12 @@ def cmd_scanfastq(args) -> int:
                              known_cells=bool(args.cellRangerBCs),
                              compress=args.compress)
     inputs = [Path(s) for s in args.inDir.split(",")]
-    stats = pipe.run(inputs, args.outDir)
+    if args.demon:
+        stats = pipe.run_demon(inputs, args.outDir,
+                               poll_interval=args.pollInterval,
+                               idle_timeout=args.idleTimeout)
+    else:
+        stats = pipe.run(inputs, args.outDir)
     print(f"scanfastq done: {stats.total_reads} reads, "
           f"{stats.stranded} stranded, {stats.bc_assigned} BC-assigned "
           f"({stats.split_chimeric} chimera splits, "
@@ -315,6 +332,13 @@ def _add_simple_programs(sub):
                        help="per-isoform evidence fasta export")
     p.add_argument("-I", "--INPUT", required=True)
     p.add_argument("-O", "--OUTDIR", required=True)
+
+    p = sub.add_parser("parseillumina", help="serialize an Illumina 10x BAM "
+                       "into a guided-mode table (reference parseillumina/"
+                       "BamSerializer)")
+    p.add_argument("-I", "--INPUT", required=True, help="Illumina BAM "
+                   "(CB/UB/GN tags)")
+    p.add_argument("-O", "--OUTPUT", required=True, help="table json.gz")
 
     p = sub.add_parser("annotatemodel",
                        help="re-validate a CollapseModel txt")
@@ -495,6 +519,9 @@ def cmd_simple(args) -> int:
     elif args.cmd == "haplotypecaller":
         from sicelore_tpu.pipeline import programs2
         r = programs2.haplotype_caller(args.INPUT, args.OUTDIR)
+    elif args.cmd == "parseillumina":
+        from sicelore_tpu.pipeline.illumina import parse_illumina_bam
+        r = parse_illumina_bam(args.INPUT, args.OUTPUT)
     elif args.cmd == "annotatemodel":
         from sicelore_tpu.pipeline import annotate
         r = annotate.annotate_model(args.MODEL, args.INPUT, args.CAGE,
@@ -576,7 +603,7 @@ _SIMPLE = {"tagbamwithread", "deduplicatemolecule", "addbammoleculetags",
            "splitbampercluster", "moleculecounter", "exportmoleculereads",
            "addreadstomolecules", "haplotypecaller", "junctionannotate",
            "annotatemodel", "junctionvalidator", "snpmatrix3pend",
-           "addisobam"}
+           "addisobam", "parseillumina"}
 
 
 def main(argv=None) -> int:

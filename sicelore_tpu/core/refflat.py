@@ -78,6 +78,11 @@ class RefFlatModel:
 
     @classmethod
     def load(cls, path: str | Path) -> "RefFlatModel":
+        """Load a refFlat or GTF model (reference -a/--annotationFile accepts
+        .refFlat/.refflat/.gtf, optionally gz; README.md:686-690)."""
+        name = str(path).lower()
+        if name.endswith((".gtf", ".gtf.gz")):
+            return cls._load_gtf(path)
         opener = gzip.open if str(path).endswith(".gz") else open
         by_gene: dict[str, list[TranscriptRecord]] = {}
         with opener(str(path), "rt") as fh:
@@ -87,6 +92,39 @@ class RefFlatModel:
                     continue
                 tr = TranscriptRecord.from_refflat_fields(line.split("\t"))
                 by_gene.setdefault(tr.gene_id, []).append(tr)
+        return cls(by_gene)
+
+    @classmethod
+    def _load_gtf(cls, path: str | Path) -> "RefFlatModel":
+        """GTF exon lines -> transcripts (org.ipmc.common.gtf.GTFparser
+        role). Gene key = gene_name attribute (gene_id fallback)."""
+        import re
+        opener = gzip.open if str(path).endswith(".gz") else open
+        attr_re = re.compile(r'(\w+) "([^"]*)"')
+        # (gene, transcript) -> [chrom, strand, [(start0, end)]]
+        tx: dict[tuple[str, str], list] = {}
+        with opener(str(path), "rt") as fh:
+            for line in fh:
+                if line.startswith("#"):
+                    continue
+                f = line.rstrip("\n").split("\t")
+                if len(f) < 9 or f[2] != "exon":
+                    continue
+                attrs = dict(attr_re.findall(f[8]))
+                gene = attrs.get("gene_name") or attrs.get("gene_id", "?")
+                tid = attrs.get("transcript_id", "?")
+                rec = tx.setdefault((gene, tid), [f[0], f[6], []])
+                rec[2].append((int(f[3]) - 1, int(f[4])))  # 0-based start
+        by_gene: dict[str, list[TranscriptRecord]] = {}
+        for (gene, tid), (chrom, strand, exons) in tx.items():
+            exons.sort()
+            fields = [gene, tid, chrom, strand, str(exons[0][0]),
+                      str(exons[-1][1]), str(exons[0][0]),
+                      str(exons[-1][1]), str(len(exons)),
+                      ",".join(str(s) for s, _ in exons) + ",",
+                      ",".join(str(e) for _, e in exons) + ","]
+            tr = TranscriptRecord.from_refflat_fields(fields)
+            by_gene.setdefault(gene, []).append(tr)
         return cls(by_gene)
 
     def select(self, gene_ids) -> list[TranscriptRecord]:

@@ -60,8 +60,12 @@ class AssignUmisPipeline:
     def __init__(self, cfg: PipelineConfig | None = None,
                  refflat: str | Path | None = None,
                  chunk_size: int | None = None,
-                 random_umi: bool = False, seed: int = 0):
+                 random_umi: bool = False, seed: int = 0,
+                 illumina_table=None):
         self.cfg = cfg or PipelineConfig()
+        # Illumina-guided mode (legacy): snap cluster centers to the nearest
+        # Illumina UMI of the same (gene, cell); pipeline.illumina
+        self.illumina = illumina_table
         # -f/--randomUMI negative control: replace UMI candidates with
         # random bases to measure false clustering (README.md:747-751)
         self.random_umi = random_umi
@@ -142,12 +146,21 @@ class AssignUmisPipeline:
                 self.stats.singletons += 1
             else:
                 self.stats.clustered += 1
+            center = cl.center
+            if self.illumina is not None and cl.members:
+                rec0 = group[cl.members[0]][0]
+                g0 = rec0.get_tag(self.cfg.barcode_umi_finder
+                                  .gene_name_attribute)
+                snapped = self.illumina.snap(g0, group[cl.members[0]][1].bc,
+                                             center)
+                if snapped is not None:
+                    center = snapped[0]
             for i in cl.members:
                 rec, info, umi, qv, ub, ue = group[i]
                 rec.set_tag(tags["CELL_BC"], info.bc, "Z")
-                rec.set_tag(tags["UMI_SEQ"], cl.center.decode(), "Z")
+                rec.set_tag(tags["UMI_SEQ"], center.decode(), "Z")
                 rec.set_tag(tags["UMI_READ_SEQ"], umi.decode(), "Z")
-                ed = myers_ed(umi, cl.center) if umi != cl.center else 0
+                ed = myers_ed(umi, center) if umi != center else 0
                 rec.set_tag(tags["UMI_ED"], ed, "i")
                 rec.set_tag(tags["UMI_ED_SECOND_BEST"], INT_MAX, "i")
                 rec.set_tag(tags["UMI_START"], ub, "i")
@@ -159,7 +172,7 @@ class AssignUmisPipeline:
                 self.stats.umi_assigned += 1
                 gene = rec.get_tag(self.cfg.barcode_umi_finder.gene_name_attribute)
                 if gene:
-                    self.genecounts[(gene, info.bc)].add(cl.center)
+                    self.genecounts[(gene, info.bc)].add(center)
                 writer.write(rec)
 
     def run(self, in_bam: str | Path, out_bam: str | Path,

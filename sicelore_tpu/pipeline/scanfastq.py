@@ -452,6 +452,64 @@ class ScanFastqPipeline:
         self.write_report(out_dir / "ReadScanner.html")
         return self.stats
 
+    def run_demon(self, inputs: list[str | Path], out_dir: str | Path,
+                  poll_interval: float = 30.0, idle_timeout: float = 600.0,
+                  log=print):
+        """Demon mode (reference <runningasdemon>, config.xml:28-31): run
+        once, then keep polling the input dirs; newly appearing fastq files
+        pass through pass 2 against the established used-BC list, stats and
+        reports are merged incrementally. Stops after `idle_timeout`
+        seconds without new files."""
+        import time
+
+        out_dir = Path(out_dir)
+        # snapshot BEFORE the initial run: files appearing mid-run must be
+        # picked up by the next poll, not silently skipped
+        seen = set()
+        for p in inputs:
+            p = Path(p)
+            seen.update(fastq.find_fastq_files(p) if p.is_dir() else [p])
+        self.run(inputs, out_dir)
+        ext = ".fastq.gz" if self.compress else ".fastq"
+        use_fused = not self.random_barcode and self.used_peq is not None
+        last_new = time.time()
+        while time.time() - last_new < idle_timeout:
+            time.sleep(poll_interval)
+            fresh = []
+            for p in inputs:
+                p = Path(p)
+                for f in (fastq.find_fastq_files(p) if p.is_dir() else [p]):
+                    if f not in seen:
+                        seen.add(f)
+                        fresh.append(f)
+            if not fresh:
+                continue
+            last_new = time.time()
+            log(f"[demon] {len(fresh)} new file(s)")
+            for f in fresh:
+                stem = f.name
+                for suf in (".gz", ".fastq", ".fq"):
+                    stem = stem[:-len(suf)] if stem.endswith(suf) else stem
+                with fastq.FastqWriter(
+                        out_dir / "passed" / f"{stem}FWD{ext}") as pw, \
+                     fastq.FastqWriter(
+                        out_dir / "failed" / f"{stem}FAILED{ext}") as fw:
+                    for chunk in fastq.read_fastq(f, self.chunk_size):
+                        if use_fused:
+                            self.stats.total_reads += len(chunk)
+                            chunk = self.split_chimeras(chunk)
+                            h = self.model.scan_search_async(chunk.seqs,
+                                                             chunk.quals)
+                            o, bc = self.model.finish_search(h)
+                            self.pass2_emit(chunk, o, bc, pw, fw)
+                        else:
+                            self.pass2_chunk(chunk, pw, fw)
+            self.write_barcodes_assigned(out_dir / "BarcodesAssigned.tsv")
+            with open(out_dir / "scanner_stats.json", "w") as fh:
+                json.dump(self.stats.to_json(), fh, indent=1)
+            self.write_report(out_dir / "ReadScanner.html")
+        return self.stats
+
     def write_report(self, path):
         """Knee plot + scan statistics HTML (reference ReadScanner.html,
         README.md:380-393)."""
