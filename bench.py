@@ -34,7 +34,7 @@ def main(verbose: bool = False):
 
     cfg = PipelineConfig()
     rng = np.random.default_rng(0)
-    B = 4096
+    B = 8192
     N_BC = 8192  # used-barcode list size (large experiment)
 
     wl = synth.make_whitelist(rng, N_BC)

@@ -58,13 +58,71 @@ def myers_ed(a: bytes, b: bytes) -> int:
     return score
 
 
-def pairwise_ed(umis: list[bytes]) -> np.ndarray:
-    """[K, K] symmetric Levenshtein matrix."""
+DEVICE_ED_THRESHOLD = 48  # unique UMIs above this go through the device
+
+
+def pairwise_ed(umis: list[bytes], use_device: bool | None = None) -> np.ndarray:
+    """[K, K] symmetric Levenshtein matrix.
+
+    Small groups run scalar Myers on the host; large groups batch through
+    the device kernel (ops.editdist.myers_global_pairwise) in pattern-
+    length classes — the TPU analog of the jar's DistanceMatrix."""
     K = len(umis)
+    if use_device is None:
+        use_device = K >= DEVICE_ED_THRESHOLD
+    if not use_device:
+        d = np.zeros((K, K), dtype=np.int32)
+        for i in range(K):
+            for j in range(i + 1, K):
+                d[i, j] = d[j, i] = myers_ed(umis[i], umis[j])
+        return d
+    return _pairwise_ed_device(umis)
+
+
+def _pairwise_ed_device(umis: list[bytes]) -> np.ndarray:
+    """Batched device path: for each distinct pattern length m, run the
+    bit-parallel global ED of all length-m patterns vs ALL texts."""
+    import jax.numpy as jnp
+
+    from sicelore_tpu.ops import editdist
+    from sicelore_tpu.utils import dna
+
+    def pow2(n, lo=8):
+        b = lo
+        while b < n:
+            b *= 2
+        return b
+
+    K = len(umis)
+    L = pow2(max(len(u) for u in umis), 16)
+    Kp_txt = pow2(K)
+    texts, tlens = dna.encode_batch(umis, L)
+    tx = np.full((Kp_txt, L), dna.PAD, np.int8)
+    tx[:K] = texts
+    tl = np.zeros(Kp_txt, np.int32)
+    tl[:K] = tlens
     d = np.zeros((K, K), dtype=np.int32)
-    for i in range(K):
-        for j in range(i + 1, K):
-            d[i, j] = d[j, i] = myers_ed(umis[i], umis[j])
+    by_len: dict[int, list[int]] = {}
+    for i, u in enumerate(umis):
+        by_len.setdefault(len(u), []).append(i)
+    jt = jnp.asarray(tx[None, :, :])
+    jl = jnp.asarray(tl[None, :])
+    for m, idxs in by_len.items():
+        if m == 0 or m > 32:
+            for i in idxs:
+                for j in range(K):
+                    d[i, j] = myers_ed(umis[i], umis[j])
+            continue
+        P = pow2(len(idxs))
+        codes = np.full((P, m), dna.PAD, np.int8)
+        for row, i in enumerate(idxs):
+            codes[row] = dna.encode(umis[i])
+        peq = editdist.build_peq(codes)
+        out = editdist.myers_global_pairwise(jnp.asarray(peq[None]), jt,
+                                             jl, m)  # [1, P, Kp_txt]
+        sub = np.asarray(out)[0]
+        for row, i in enumerate(idxs):
+            d[i, :] = sub[row, :K]
     return d
 
 

@@ -214,15 +214,17 @@ def myers_global_pairwise(peq_g: jax.Array, texts: jax.Array, tlens: jax.Array, 
     com/rw/clustering/DistanceMatrix over 2-bit testers).
 
     Args:
-      peq_g: [G, 4, K] uint32 — per group, Peq of the K patterns (UMIs).
-      texts: [G, K, L] int8 — the same K sequences as texts.
+      peq_g: [G, 4, P] uint32 — per group, Peq of the P patterns (UMIs).
+      texts: [G, K, L] int8 — K text sequences (P == K for the classic
+        square distance matrix; rectangular P != K is supported).
       tlens: [G, K] int32 — true text lengths (score snapshot at length).
       m: pattern length (static); all patterns padded/truncated to m.
     Returns:
-      ed [G, K, K] int32 with ed[g, i, j] = Levenshtein(pattern_i, text_j).
+      ed [G, P, K] int32 with ed[g, i, j] = Levenshtein(pattern_i, text_j).
       Entries for empty texts (tlens == 0) stay at m.
     """
     G, K, L = texts.shape
+    P = peq_g.shape[2]
     hibit = jnp.uint32(m - 1)
     full = jnp.uint32((1 << m) - 1) if m < 32 else jnp.uint32(0xFFFFFFFF)
 
@@ -239,10 +241,10 @@ def myers_global_pairwise(peq_g: jax.Array, texts: jax.Array, tlens: jax.Array, 
         out = jnp.where(tlens[:, None, :] == (t + 1), score, out)
         return (PV, MV, score, out), None
 
-    PV0 = jnp.full((G, K, K), full, dtype=jnp.uint32)
-    MV0 = jnp.zeros((G, K, K), dtype=jnp.uint32)
-    s0 = jnp.full((G, K, K), m, dtype=jnp.int32)
-    out0 = jnp.full((G, K, K), m, dtype=jnp.int32)
+    PV0 = jnp.full((G, P, K), full, dtype=jnp.uint32)
+    MV0 = jnp.zeros((G, P, K), dtype=jnp.uint32)
+    s0 = jnp.full((G, P, K), m, dtype=jnp.int32)
+    out0 = jnp.full((G, P, K), m, dtype=jnp.int32)
     (_, _, _, out), _ = jax.lax.scan(
         step, (PV0, MV0, s0, out0),
         (jnp.moveaxis(texts, 2, 0).astype(jnp.int8), jnp.arange(L, dtype=jnp.int32)))
