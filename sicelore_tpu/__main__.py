@@ -333,6 +333,12 @@ def _add_simple_programs(sub):
     p.add_argument("-I", "--INPUT", required=True)
     p.add_argument("-O", "--OUTDIR", required=True)
 
+    p = sub.add_parser("mergescanstats", help="merge scanner stats / "
+                       "BarcodesAssigned tables across runs (statmerger)")
+    p.add_argument("-I", "--INPUTS", required=True,
+                   help="comma-separated stats.json or tsv files")
+    p.add_argument("-O", "--OUTPUT", required=True)
+
     p = sub.add_parser("parseillumina", help="serialize an Illumina 10x BAM "
                        "into a guided-mode table (reference parseillumina/"
                        "BamSerializer)")
@@ -519,6 +525,14 @@ def cmd_simple(args) -> int:
     elif args.cmd == "haplotypecaller":
         from sicelore_tpu.pipeline import programs2
         r = programs2.haplotype_caller(args.INPUT, args.OUTDIR)
+    elif args.cmd == "mergescanstats":
+        from sicelore_tpu.pipeline import mergestats
+        files = args.INPUTS.split(",")
+        if files[0].endswith(".json"):
+            r = mergestats.merge_scanner_stats(files, args.OUTPUT)
+            r = {"merged": len(files)}
+        else:
+            r = mergestats.merge_barcodes_assigned(files, args.OUTPUT)
     elif args.cmd == "parseillumina":
         from sicelore_tpu.pipeline.illumina import parse_illumina_bam
         r = parse_illumina_bam(args.INPUT, args.OUTPUT)
@@ -603,7 +617,7 @@ _SIMPLE = {"tagbamwithread", "deduplicatemolecule", "addbammoleculetags",
            "splitbampercluster", "moleculecounter", "exportmoleculereads",
            "addreadstomolecules", "haplotypecaller", "junctionannotate",
            "annotatemodel", "junctionvalidator", "snpmatrix3pend",
-           "addisobam", "parseillumina"}
+           "addisobam", "parseillumina", "mergescanstats"}
 
 
 def main(argv=None) -> int:
