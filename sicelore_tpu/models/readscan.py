@@ -294,6 +294,42 @@ def _pack_meta(out: dict) -> jax.Array:
     return jnp.stack(rows, axis=0)
 
 
+def make_pass1_fn(cfg: PipelineConfig, peq_ad, peq_adc, peq_tso):
+    """Pass-1 fused variant: ONE upload / ONE download (pattern bitmasks
+    close over as compile-time constants).
+
+    fn(packed [B, EDGE+4] uint8 — see make_scan_search_fn) -> int16 matrix
+    [len(EDGE_META_KEYS) + 3, B]: meta rows then (kmer_lo, kmer_hi,
+    kmer_valid) where kmer = 2-bit packed exact barcode window
+    (uint32 = lo | hi << 16), valid iff all bases A/C/G/T."""
+    body = make_edge_scan_fn(cfg)
+    bc_len = cfg.barcodes.cell_bc_length
+    pad = cfg.readscanner.test_plus_minus_pos
+    peq_ad, peq_adc, peq_tso = (np.asarray(peq_ad), np.asarray(peq_adc),
+                                np.asarray(peq_tso))
+
+    @jax.jit
+    def fn(packed):
+        seq = unpack_nibbles(packed[:, :-4])
+        lb = packed[:, -4:].astype(jnp.int32)
+        lens = lb[:, 0] | (lb[:, 1] << 8) | (lb[:, 2] << 16) | (lb[:, 3] << 24)
+        out = body(seq, lens, jnp.asarray(peq_ad), jnp.asarray(peq_adc),
+                   jnp.asarray(peq_tso))
+        meta = _pack_meta(out)
+        codes = out["bc_windows"][:, pad:pad + bc_len].astype(jnp.uint32)
+        valid = jnp.all(codes < 4, axis=1)
+        kmer = jnp.zeros(codes.shape[0], jnp.uint32)
+        for i in range(bc_len):
+            kmer = (kmer << jnp.uint32(2)) | jnp.minimum(codes[:, i], 3)
+        rows = jnp.stack([
+            (kmer & 0xFFFF).astype(jnp.int32),
+            (kmer >> 16).astype(jnp.int32),
+            valid.astype(jnp.int32)], axis=0).astype(jnp.int16)
+        return jnp.concatenate([meta, rows], axis=0)
+
+    return fn
+
+
 def make_edge_scan_packed_fn(cfg: PipelineConfig):
     """Packed variant: (packed_seq [B, EDGE] uint8 nibbles, lens, peq*) ->
     (meta [len(EDGE_META_KEYS), B] int16, bc_windows [B, W] int8)."""
@@ -465,15 +501,16 @@ def remap_composite(pos: np.ndarray, true_lens: np.ndarray,
 
 def make_scan_search_fn(cfg: PipelineConfig, use_pallas: bool,
                         bt: int = 256, nt: int = 512):
-    """Fused edge scan + whitelist ED sweep in ONE jit (one dispatch,
-    minimal RPC count + bytes on remote devices).
+    """Fused edge scan + whitelist ED sweep in ONE jit, ONE upload and ONE
+    download per batch (every extra RPC over the remote-TPU tunnel costs a
+    ~40-80ms round trip).
 
-    Returns fn(packed_seq [B, EDGE] uint8 nibbles, lens [B], peq_ad,
-    peq_adc, peq_tso, peq_bc [4, N] uint32, nvalid [1] int32) ->
-    (meta [K, B] int16, best [4, B] int32) where best rows are
-    (ed, idx, ed2, end_pos). bc_windows stay on device — pass 2 never
-    needs them on host. B % bt == 0 and N % nt == 0 required when
-    use_pallas.
+    Returns fn(packed [B, EDGE+4] uint8 — nibble-packed composite plus the
+    composite length in the last 4 little-endian bytes — peq_ad, peq_adc,
+    peq_tso, peq_bc [4, N] uint32, nvalid [1] int32) -> combined int16
+    matrix [len(EDGE_META_KEYS) + 5, B]: meta rows then
+    (best_ed, idx_lo, idx_hi, second_ed, end_pos); idx = lo | hi << 16.
+    B % bt == 0 and N % nt == 0 required when use_pallas.
     """
     from sicelore_tpu.ops import bcsearch  # local import: avoids cycle
 
@@ -481,8 +518,11 @@ def make_scan_search_fn(cfg: PipelineConfig, use_pallas: bool,
     m = cfg.barcodes.cell_bc_length
 
     @jax.jit
-    def fn(packed_seq, lens, peq_ad, peq_adc, peq_tso, peq_bc, nvalid):
-        out = body(unpack_nibbles(packed_seq), lens, peq_ad, peq_adc, peq_tso)
+    def fn(packed, peq_ad, peq_adc, peq_tso, peq_bc, nvalid):
+        seq = unpack_nibbles(packed[:, :-4])
+        lb = packed[:, -4:].astype(jnp.int32)
+        lens = lb[:, 0] | (lb[:, 1] << 8) | (lb[:, 2] << 16) | (lb[:, 3] << 24)
+        out = body(seq, lens, peq_ad, peq_adc, peq_tso)
         meta = _pack_meta(out)
         wins = out["bc_windows"]
         if use_pallas:
@@ -496,7 +536,14 @@ def make_scan_search_fn(cfg: PipelineConfig, use_pallas: bool,
             b1, i1, b2, _ = editdist.best_two(ed)
             p1 = jnp.take_along_axis(pos, i1[:, None], axis=1)[:, 0]
             best = jnp.stack([b1, i1, b2, p1], axis=0)
-        return meta, best
+        brows = jnp.stack([
+            jnp.clip(best[0], -I16_BIG, I16_BIG),
+            best[1] & 0xFFFF,
+            best[1] >> 16,
+            jnp.clip(best[2], -I16_BIG, I16_BIG),
+            jnp.clip(best[3], -I16_BIG, I16_BIG)], axis=0)
+        # int16 cast: idx_lo is uint16-valued; view back on host
+        return jnp.concatenate([meta, brows.astype(jnp.int16)], axis=0)
 
     return fn
 
@@ -579,32 +626,65 @@ class ReadScanModel:
         self._nvalid = jnp.asarray([n_valid], dtype=jnp.int32)
         self._search_fn = make_scan_search_fn(self.cfg, use_pallas)
 
-    def scan_search_async(self, seqs: list[bytes], quals: list[bytes]):
-        """Dispatch composite edge scan + BC sweep; returns device handles
-        (meta, best, qv, comp_lens, B, true_lens) WITHOUT blocking — force
-        with `finish_search` while the device works on the next batch."""
+    # -- fused pass-1 scan (meta + exact BC kmer, 1 RPC each way) --------
+
+    def scan_pass1(self, seqs: list[bytes], quals: list[bytes]):
+        """Composite edge scan + exact-BC kmer extraction; returns the
+        edge dict (coords remapped) plus 'bc_kmer' uint32 and
+        'bc_kmer_valid' bool arrays."""
+        if not hasattr(self, "_pass1_fn"):
+            self._pass1_fn = make_pass1_fn(self.cfg, self.peq_ad,
+                                           self.peq_adc, self.peq_tso)
         codes, qv, comp_lens, true_lens = encode_composite(seqs, quals)
         packed, lens_p, B = self._pack_batch(codes, comp_lens)
-        meta, best = self._search_fn(
-            jnp.asarray(packed), jnp.asarray(lens_p), self.peq_ad,
-            self.peq_adc, self.peq_tso, self._peq_bc, self._nvalid)
-        return meta, best, qv, comp_lens, B, true_lens
+        full = np.concatenate(
+            [packed, lens_p.astype("<u4").view(np.uint8).reshape(-1, 4)],
+            axis=1)
+        arr = np.asarray(self._pass1_fn(jnp.asarray(full)))[:, :B]
+        K = len(EDGE_META_KEYS)
+        out = unpack_edge_meta(arr[:K])
+        compute_qvs_np(qv, comp_lens, out, self.cfg.barcodes.cell_bc_length,
+                       self.is5p)
+        for key in ("ps", "pe", "ae", "x_start", "x_end"):
+            out[key] = remap_composite(out[key], true_lens)
+        out["true_lens"] = true_lens
+        lo = arr[K].astype(np.int64) & 0xFFFF
+        hi = arr[K + 1].astype(np.int64) & 0xFFFF
+        out["bc_kmer"] = ((hi << 16) | lo).astype(np.uint32)
+        out["bc_kmer_valid"] = arr[K + 2] != 0
+        return out
+
+    def scan_search_async(self, seqs: list[bytes], quals: list[bytes]):
+        """Dispatch composite edge scan + BC sweep; returns device handles
+        WITHOUT blocking — force with `finish_search` while the device
+        works on the next batch. One upload, one download per batch."""
+        codes, qv, comp_lens, true_lens = encode_composite(seqs, quals)
+        packed, lens_p, B = self._pack_batch(codes, comp_lens)
+        full = np.concatenate(
+            [packed, lens_p.astype("<u4").view(np.uint8).reshape(-1, 4)],
+            axis=1)
+        combined = self._search_fn(
+            jnp.asarray(full), self.peq_ad, self.peq_adc, self.peq_tso,
+            self._peq_bc, self._nvalid)
+        return combined, qv, comp_lens, B, true_lens
 
     def finish_search(self, handles):
         """Force a scan_search_async result -> (edge dict, best dict)."""
-        meta, best, qv, comp_lens, B, true_lens = handles
-        out = unpack_edge_meta(np.asarray(meta))
-        out = {k: v[..., :B] for k, v in out.items()}
+        combined, qv, comp_lens, B, true_lens = handles
+        arr = np.asarray(combined)[:, :B]
+        K = len(EDGE_META_KEYS)
+        out = unpack_edge_meta(arr[:K])
         # QVs from the composite qual matrix, in composite coords
         compute_qvs_np(qv, comp_lens, out, self.cfg.barcodes.cell_bc_length,
                        self.is5p)
         for key in ("ps", "pe", "ae", "x_start", "x_end"):
             out[key] = remap_composite(out[key], true_lens)
         out["true_lens"] = true_lens
-        b = np.asarray(best)[:, :B]
-        ed2 = np.where(b[2] >= bcsearch_BIG_MIN, editdist.INT_MAX, b[2])
-        bc = {"ed": b[0].astype(np.int64), "idx": b[1].astype(np.int64),
-              "ed2": ed2.astype(np.int64), "end_pos": b[3].astype(np.int64)}
+        b = arr[K:K + 5].astype(np.int64)
+        idx = (b[1] & 0xFFFF) | (b[2] << 16)
+        ed = np.where(b[0] >= I16_BIG, bcsearch_BIG_MIN, b[0])
+        ed2 = np.where(b[3] >= I16_BIG, editdist.INT_MAX, b[3])
+        bc = {"ed": ed, "idx": idx, "ed2": ed2, "end_pos": b[4]}
         return out, bc
 
     def scan_internal(self, seqs, lens):

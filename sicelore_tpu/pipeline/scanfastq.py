@@ -130,19 +130,16 @@ class ScanFastqPipeline:
 
     def pass1_chunk(self, chunk: fastq.FastqChunk):
         r = self.cfg.readscanner
-        bc_len = self.cfg.barcodes.cell_bc_length
-        pad = r.test_plus_minus_pos
-        out = self.model.scan_reads(chunk.seqs, chunk.quals)
+        out = self.model.scan_pass1(chunk.seqs, chunk.quals)
         ok = (out["stranded"]
               & (out["true_lens"] >= r.min_read_length)
               & (out["adapter_run"] >= r.min_adapter3p_matches)
               & (out["read_qv"] >= r.min_mean_read_qv)
-              & (out["bc_qv"] >= r.min_mean_bc_qv))
+              & (out["bc_qv"] >= r.min_mean_bc_qv)
+              & out["bc_kmer_valid"])
         if not ok.any():
             return
-        bc_codes = out["bc_windows"][ok][:, pad:pad + bc_len]
-        valid = dna.valid_kmers(bc_codes)
-        packed = dna.pack_kmers(bc_codes[valid], 16)
+        packed = out["bc_kmer"][ok]
         idx = np.searchsorted(self.whitelist, packed)
         idx = np.clip(idx, 0, len(self.whitelist) - 1)
         hits = self.whitelist[idx] == packed
