@@ -313,6 +313,40 @@ def _add_simple_programs(sub):
     p.add_argument("-O", "--OUTDIR", required=True)
     p.add_argument("-C", "--CSV", required=True)
 
+    p = sub.add_parser("splitbamperstage", help="one BAM per stage "
+                       "(csv: sample,stage; routed by BC '-sample' suffix)")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("-O", "--OUTDIR", required=True)
+    p.add_argument("-C", "--CSV", required=True)
+    p.add_argument("--CELLTAG", default="BC")
+
+    p = sub.add_parser("crisprstats", help="largest-deletion histogram "
+                       "over a genomic window (CRISPR editing QC)")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("--HISTO", required=True)
+    p.add_argument("--DETAIL", required=True)
+    p.add_argument("--MINSIZE", type=int, default=10)
+    p.add_argument("--COORD", default="21:17608000-17610000")
+
+    p = sub.add_parser("parsefastq", help="export cDNA slice of passed "
+                       "fastq reads using read-name metadata")
+    p.add_argument("-I", "--FASTQDIR", required=True)
+    p.add_argument("-O", "--OUTDIR", required=True)
+    p.add_argument("--offset", type=int, default=28)
+    p.add_argument("--min_cdna", type=int, default=20)
+
+    p = sub.add_parser("parsetr", help="Parse Biosciences polyT vs random"
+                       "-hexamer priming stats per gene/cell")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("-C", "--CSV", required=True)
+    p.add_argument("-O", "--OUTDIR", required=True)
+    p.add_argument("--CELLTAG_BC", default="CR")
+    p.add_argument("--CELLTAG", default="CB")
+    p.add_argument("--UMITAG", default="pN")
+    p.add_argument("--GENETAG", default="GN")
+    p.add_argument("--XF", default="XF")
+    p.add_argument("--SAMPLE", default="pS")
+
     p = sub.add_parser("moleculecounter", help="count distinct (BC,U8)")
     p.add_argument("-I", "--INPUT", required=True)
 
@@ -511,6 +545,24 @@ def cmd_simple(args) -> int:
         from sicelore_tpu.pipeline import programs2
         r = programs2.split_bam_per_cluster(args.INPUT, args.OUTDIR,
                                             args.CSV)
+    elif args.cmd == "splitbamperstage":
+        from sicelore_tpu.pipeline import programs2
+        r = programs2.split_bam_per_stage(args.INPUT, args.OUTDIR,
+                                          args.CSV, args.CELLTAG)
+    elif args.cmd == "crisprstats":
+        from sicelore_tpu.pipeline import programs2
+        r = programs2.crispr_stats(args.INPUT, args.HISTO, args.DETAIL,
+                                   args.MINSIZE, args.COORD)
+    elif args.cmd == "parsefastq":
+        from sicelore_tpu.pipeline import programs2
+        r = programs2.parse_fastq_cdna(args.FASTQDIR, args.OUTDIR,
+                                       args.offset, args.min_cdna)
+    elif args.cmd == "parsetr":
+        from sicelore_tpu.pipeline import programs2
+        r = programs2.parse_tr_stats(args.INPUT, args.CSV, args.OUTDIR,
+                                     args.CELLTAG_BC, args.CELLTAG,
+                                     args.UMITAG, args.GENETAG, args.XF,
+                                     args.SAMPLE)
     elif args.cmd == "moleculecounter":
         from sicelore_tpu.pipeline import programs2
         r = programs2.molecule_counter(args.INPUT)
@@ -617,7 +669,8 @@ _SIMPLE = {"tagbamwithread", "deduplicatemolecule", "addbammoleculetags",
            "splitbampercluster", "moleculecounter", "exportmoleculereads",
            "addreadstomolecules", "haplotypecaller", "junctionannotate",
            "annotatemodel", "junctionvalidator", "snpmatrix3pend",
-           "addisobam", "parseillumina", "mergescanstats"}
+           "addisobam", "parseillumina", "mergescanstats",
+           "splitbamperstage", "crisprstats", "parsefastq", "parsetr"}
 
 
 def main(argv=None) -> int:

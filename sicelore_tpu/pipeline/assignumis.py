@@ -147,6 +147,7 @@ class AssignUmisPipeline:
             else:
                 self.stats.clustered += 1
             center = cl.center
+            umi_reduced = False
             if self.illumina is not None and cl.members:
                 rec0 = group[cl.members[0]][0]
                 g0 = rec0.get_tag(self.cfg.barcode_umi_finder
@@ -155,6 +156,7 @@ class AssignUmisPipeline:
                                              center)
                 if snapped is not None:
                     center = snapped[0]
+                    umi_reduced = snapped[2]
             for i in cl.members:
                 rec, info, umi, qv, ub, ue = group[i]
                 rec.set_tag(tags["CELL_BC"], info.bc, "Z")
@@ -169,6 +171,8 @@ class AssignUmisPipeline:
                     rec.set_tag(tags["UMI_FROM_CLUSTERING"], 1, "i")
                 if cl.is_readseq:
                     rec.set_tag(tags["UMI_IS_READSEQ"], 1, "i")
+                if umi_reduced:
+                    rec.set_tag(tags["UMI_REDUCED_LENGTH"], 1, "i")
                 self.stats.umi_assigned += 1
                 gene = rec.get_tag(self.cfg.barcode_umi_finder.gene_name_attribute)
                 if gene:

@@ -51,8 +51,16 @@ class GuidedUmiTable:
             self.table = json.load(fh)
 
     def snap(self, gene: str | None, cell: str, umi: bytes,
-             max_ed: int = 2) -> tuple[bytes, int] | None:
-        """Nearest Illumina UMI of (gene, cell) within max_ed, or None."""
+             max_ed: int = 2,
+             reduced_by: int = 2) -> tuple[bytes, int, bool] | None:
+        """Nearest Illumina UMI of (gene, cell) within max_ed, or None.
+
+        Returns (illumina_umi, ed, reduced). If no candidate matches at
+        full length, retries with the UMI truncated by `reduced_by` bases
+        against equally-truncated candidates (the reference's
+        "UMI_match_with_reduced_length" scan, flagged with the UR tag —
+        Jar/config.xml:487-490); the returned UMI is still full-length.
+        """
         if not gene:
             return None
         cands = self.table.get(gene, {}).get(cell)
@@ -63,6 +71,14 @@ class GuidedUmiTable:
             ed = myers_ed(umi, c.encode())
             if ed < best_ed:
                 best, best_ed = c, ed
-        if best is None:
-            return None
-        return best.encode(), best_ed
+        if best is not None:
+            return best.encode(), best_ed, False
+        if reduced_by > 0 and len(umi) > reduced_by:
+            short = umi[:-reduced_by]
+            for c in cands:
+                ed = myers_ed(short, c.encode()[:len(short)])
+                if ed < best_ed:
+                    best, best_ed = c, ed
+            if best is not None:
+                return best.encode(), best_ed, True
+        return None

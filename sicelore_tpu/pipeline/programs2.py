@@ -299,3 +299,185 @@ def _load_fasta(path) -> dict[str, str]:
     if name is not None:
         out[name] = "".join(chunks)
     return out
+
+
+def split_bam_per_stage(in_bam, out_dir, stage_csv, cell_tag="BC"):
+    """SplitBamPerStage (programs/SplitBamPerStage.java:38-98): csv lines
+    `sample,stage` (quotes stripped, spaces -> underscores); each record is
+    routed by the *sample* suffix of its cell tag (`BARCODE-SAMPLE`) to
+    `{input_stem}-{stage}.bam`. One writer per stage is opened up front
+    (so every stage named in the csv yields a file, even if empty)."""
+    name = Path(in_bam).name.replace(".bam", "")
+    sample2stage: dict[str, str] = {}
+    stages: list[str] = []
+    for line in open(stage_csv):
+        line = line.strip()
+        if not line:
+            continue
+        line = line.replace('"', "").replace(" ", "_")
+        parts = line.split(",")
+        if len(parts) < 2:
+            continue
+        sample2stage[parts[0]] = parts[1]
+        if parts[1] not in stages:
+            stages.append(parts[1])
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    n = 0
+    with BamReader(in_bam) as rd:
+        writers = {st: BamWriter(out_dir / f"{name}-{st}.bam", rd.header)
+                   for st in stages}
+        for r in rd:
+            bc = r.get_tag(cell_tag)
+            if not bc or "-" not in bc:
+                continue
+            stage = sample2stage.get(bc.split("-")[1])
+            if stage is not None:
+                writers[stage].write(r)
+                n += 1
+        for w in writers.values():
+            w.close()
+    return {"written": n, "stages": len(writers)}
+
+
+def crispr_stats(in_bam, histo_out, detail_out, min_size: int = 10,
+                 coord: str = "21:17608000-17610000"):
+    """CrispRstats (programs/CrispRstats.java:54-156): for reads
+    overlapping COORD, find the largest CIGAR deletion; DETAIL gets
+    `read_name  start_of_deletion  size`, HISTO gets a `length\\tnumber`
+    table of deletion sizes 0..max. Deviation from the reference
+    (documented policy): the reference gates the detail/histo rows on the
+    running *global* maximum (`MAX >= MINSIZE`, CrispRstats.java:125), so
+    after the first large deletion every read is recorded regardless of
+    its own deletion size; we gate on the per-read maximum instead."""
+    chrom, rng = coord.split(":")
+    start, end = (int(x) for x in rng.split("-"))
+    histo: dict[int, int] = {}
+    max_seen = 0
+    n = 0
+    with BamReader(in_bam) as rd, open(detail_out, "w") as det:
+        ref_names = [nm for nm, _ in rd.header.refs]
+        for r in rd:
+            if r.is_unmapped or r.ref_id < 0 or ref_names[r.ref_id] != chrom:
+                continue
+            pos1 = r.pos + 1                      # 1-based leftmost
+            if pos1 > end or r.reference_end() < start:
+                continue
+            n += 1
+            maxdel = 0
+            del_start = 0
+            ref = pos1
+            for op, ln in r.cigar:
+                if op == "D" and ln > maxdel:
+                    maxdel = ln
+                    del_start = ref               # first deleted base
+                if op in "MDN=X":
+                    ref += ln
+            max_seen = max(max_seen, maxdel)
+            if maxdel >= min_size:
+                det.write(f"{r.qname}\t{del_start}\t{maxdel}\n")
+                histo[maxdel] = histo.get(maxdel, 0) + 1
+    with open(histo_out, "w") as fh:
+        fh.write("length\tnumber\n")
+        for i in range(max_seen + 1):
+            fh.write(f"{i}\t{histo.get(i, 0)}\n")
+    return {"records": n, "max_deletion": max_seen}
+
+
+def parse_fastq_cdna(fastq_dir, out_dir, offset: int = 28,
+                     min_cdna: int = 20):
+    """ParseFastq (programs/ParseFastq.java:33-98): for every fastq in
+    FASTQDIR, slice the cDNA out of each read using the read-name metadata
+    (polyA start / adapter end): cDNA = seq[AEnd+offset : PAst-1] when both
+    are > 0 and the slice exceeds min_cdna, else the whole read. Output
+    records reproduce the reference byte format `@name\\ncDNA\\n+\\n\\n`
+    (empty quality line — ParseFastq.java:83). Accepts both the v1 keys
+    (PAst/AEnd) the reference parses and this framework's scanfastq keys
+    (PS/AE, pipeline/readname.py)."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    files = reads = sliced = 0
+    for f in sorted(Path(fastq_dir).iterdir()):
+        if not f.is_file():
+            continue
+        files += 1
+        with open(out_dir / f.name, "w") as os_:
+            for chunk in fastq.read_fastq(f):
+                for name, seq in zip(chunk.names, chunk.seqs):
+                    reads += 1
+                    token = name.decode()
+                    pa_st = a_end = 0
+                    for part in token.split("_"):
+                        kv = part.split("=")
+                        if len(kv) > 1:
+                            if kv[0] in ("PAst", "PS"):
+                                pa_st = int(kv[1])
+                            elif kv[0] in ("AEnd", "AE"):
+                                a_end = int(kv[1])
+                    if pa_st > 0 and a_end > 0 and \
+                            pa_st - 1 - (a_end + offset) > min_cdna:
+                        cdna = seq[a_end + offset:pa_st - 1].decode()
+                        sliced += 1
+                    else:
+                        cdna = seq.decode()
+                    os_.write(f"@{token}\n{cdna}\n+\n\n")
+    return {"files": files, "reads": reads, "sliced": sliced}
+
+
+def parse_tr_stats(in_bam, csv_path, out_dir, celltag_bc="CR",
+                   cell_tag="CB", umi_tag="pN", gene_tag="GN",
+                   xf_tag="XF", sample_tag="pS"):
+    """ParseTR (programs/ParseTR.java:62-197): Parse Biosciences
+    polyA-vs-random-hexamer priming stats. CSV rows
+    `bci,sequence,uid,well,type` map the BC1 barcode sequence to priming
+    type T (polyT) / R (random hexamer); per gene and per cell, count
+    distinct UMIs per `{XF}_{type}` key over the 8 fixed columns; write
+    gene_stats.txt and cell_stats.txt. Records missing any required tag
+    are skipped (the reference NPEs on them)."""
+    keys = ["CODING_T", "CODING_R", "UTR_T", "UTR_R",
+            "INTRONIC_T", "INTRONIC_R", "INTERGENIC_T", "INTERGENIC_R"]
+    bc2type: dict[str, str] = {}
+    for line in open(csv_path):
+        parts = line.strip().split(",")
+        if len(parts) >= 5:
+            bc2type[parts[1]] = parts[4]
+    gene_matrix: dict[str, dict[str, set]] = defaultdict(
+        lambda: defaultdict(set))
+    cell_matrix: dict[str, dict[str, set]] = defaultdict(
+        lambda: defaultdict(set))
+    bc2cond: dict[str, str] = {}
+    n = used = 0
+    with BamReader(in_bam) as rd:
+        for r in rd:
+            n += 1
+            bc123 = r.get_tag(celltag_bc)
+            cell = r.get_tag(cell_tag)
+            umi = r.get_tag(umi_tag)
+            gene = r.get_tag(gene_tag)
+            sample = r.get_tag(sample_tag)
+            where = r.get_tag(xf_tag)
+            if not (bc123 and cell and umi and gene and where):
+                continue
+            priming = bc2type.get(bc123.split("_")[0])
+            if priming is None:
+                continue
+            used += 1
+            bc2cond[cell] = sample or ""
+            key = f"{where}_{priming}"
+            gene_matrix[gene][key].add(umi)
+            cell_matrix[cell][key].add(umi)
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    with open(out_dir / "gene_stats.txt", "w") as fh:
+        fh.write("gene" + "".join("\t" + k for k in keys) + "\n")
+        for gene, m in gene_matrix.items():
+            fh.write(gene + "".join(f"\t{len(m.get(k, ()))}" for k in keys)
+                     + "\n")
+    with open(out_dir / "cell_stats.txt", "w") as fh:
+        fh.write("cell\tcondition" + "".join("\t" + k for k in keys) + "\n")
+        for cell, m in cell_matrix.items():
+            fh.write(f"{cell}\t{bc2cond.get(cell, '')}"
+                     + "".join(f"\t{len(m.get(k, ()))}" for k in keys)
+                     + "\n")
+    return {"records": n, "used": used, "genes": len(gene_matrix),
+            "cells": len(cell_matrix)}

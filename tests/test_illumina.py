@@ -22,8 +22,14 @@ def test_parse_and_snap(tmp_path):
     assert r == {"records_used": 4, "genes": 2}
     t = GuidedUmiTable(tmp_path / "t.json.gz")
     # 1-error candidate snaps to the Illumina UMI
-    assert t.snap("GENEA", "CELL1", b"AAACCCGGT") == (b"AAACCCGGG", 1)
+    assert t.snap("GENEA", "CELL1", b"AAACCCGGT") == (b"AAACCCGGG", 1, False)
     # too far / unknown gene-cell -> None
     assert t.snap("GENEA", "CELL1", b"GGGGGGAAA") is None
     assert t.snap("GENEB", "CELL1", b"AAACCCGGG") is None
     assert t.snap(None, "CELL1", b"AAACCCGGG") is None
+    # reduced-length fallback: last 2 bases garbled beyond full-length ED,
+    # but the 7-mer prefix matches exactly -> reduced=True (UR tag)
+    assert t.snap("GENEA", "CELL1", b"AAACCCGTT", max_ed=1) == \
+        (b"AAACCCGGG", 0, True)
+    assert t.snap("GENEA", "CELL1", b"AAACCCGTT", max_ed=1,
+                  reduced_by=0) is None

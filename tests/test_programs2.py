@@ -106,3 +106,88 @@ def test_junction_annotate(tmp_path):
                                     tmp_path / "g.fa", tmp_path / "j.tsv")
     assert r["junctions"] == 1 and r["canonical"] == 1
     assert "200-301\tGT\tAG\ttrue" in (tmp_path / "j.tsv").read_text()
+
+
+def test_split_bam_per_stage(tmp_path):
+    recs = [_rec("r0", tags=[("BC", "Z", "AAAA-sampleA")]),
+            _rec("r1", tags=[("BC", "Z", "CCCC-sampleB")]),
+            _rec("r2", tags=[("BC", "Z", "GGGG-sampleC")]),  # not in csv
+            _rec("r3", tags=[("BC", "Z", "TTTT")])]          # no suffix
+    p = _bam(tmp_path, recs)
+    csv = tmp_path / "stages.csv"
+    csv.write_text('sampleA,stage 1\n"sampleB",stage2\n\n')
+    r = programs2.split_bam_per_stage(p, tmp_path / "out", csv)
+    assert r == {"written": 2, "stages": 2}
+    with BamReader(tmp_path / "out" / "in-stage_1.bam") as rd:
+        assert [x.qname for x in rd] == ["r0"]
+    with BamReader(tmp_path / "out" / "in-stage2.bam") as rd:
+        assert [x.qname for x in rd] == ["r1"]
+
+
+def test_crispr_stats(tmp_path):
+    def rec(name, pos, cigar):
+        return BamRecord(qname=name, flag=0, ref_id=0, pos=pos, mapq=60,
+                         cigar=cigar, seq="A" * 30,
+                         qual=bytes([30]) * 30, tags=[])
+    recs = [
+        # 1-based start 101; 10M 15D 10M -> deletion starts at ref 111
+        rec("big", 100, [("M", 10), ("D", 15), ("M", 10)]),
+        rec("small", 100, [("M", 10), ("D", 3), ("M", 10)]),
+        rec("nodel", 100, [("M", 30)]),
+        rec("outside", 5000, [("M", 10), ("D", 50), ("M", 10)]),
+    ]
+    p = _bam(tmp_path, recs)
+    r = programs2.crispr_stats(p, tmp_path / "h.tsv", tmp_path / "d.tsv",
+                               min_size=10, coord="chr1:50-400")
+    assert r == {"records": 3, "max_deletion": 15}
+    assert (tmp_path / "d.tsv").read_text() == "big\t111\t15\n"
+    lines = (tmp_path / "h.tsv").read_text().splitlines()
+    assert lines[0] == "length\tnumber"
+    assert lines[15] == "14\t0" and lines[16] == "15\t1"
+    assert len(lines) == 17
+
+
+def test_parse_fastq_cdna(tmp_path):
+    d = tmp_path / "fq"
+    d.mkdir()
+    seq = "ACGT" * 30  # 120 nt
+    (d / "a.fastq").write_text(
+        f"@r1_AEnd=10_PAst=100_FWD\n{seq}\n+\n{'I'*120}\n"
+        f"@r2_noinfo\n{seq}\n+\n{'I'*120}\n")
+    r = programs2.parse_fastq_cdna(d, tmp_path / "out", offset=28,
+                                   min_cdna=20)
+    assert r == {"files": 1, "reads": 2, "sliced": 1}
+    out = (tmp_path / "out" / "a.fastq").read_text().splitlines()
+    # cDNA = seq[10+28 : 99] (0-based, end-exclusive) per ParseFastq.java:76
+    assert out[0] == "@r1_AEnd=10_PAst=100_FWD"
+    assert out[1] == seq[38:99]
+    assert out[2] == "+" and out[3] == ""           # empty QV line
+    assert out[5] == seq                            # r2: whole read kept
+
+
+def test_parse_tr_stats(tmp_path):
+    csv = tmp_path / "bc.csv"
+    csv.write_text("1,CATTCCTA,pbs_1239,A1,T\n2,CTTCATCA,pbs_1205,A2,R\n")
+    def rec(name, bc1, cell, umi, gene, xf):
+        return _rec(name, tags=[("CR", "Z", f"{bc1}_BB_CC"),
+                                ("CB", "Z", cell), ("pN", "Z", umi),
+                                ("GN", "Z", gene), ("XF", "Z", xf),
+                                ("pS", "Z", "s1")])
+    recs = [rec("r0", "CATTCCTA", "cell1", "U1", "G1", "CODING"),
+            rec("r1", "CATTCCTA", "cell1", "U1", "G1", "CODING"),  # dup UMI
+            rec("r2", "CTTCATCA", "cell1", "U2", "G1", "CODING"),
+            rec("r3", "CATTCCTA", "cell2", "U3", "G2", "INTRONIC"),
+            rec("r4", "GGGGGGGG", "cell2", "U4", "G2", "UTR")]     # unknown
+    p = _bam(tmp_path, recs)
+    r = programs2.parse_tr_stats(p, csv, tmp_path / "out")
+    assert r["used"] == 4 and r["genes"] == 2 and r["cells"] == 2
+    gene = (tmp_path / "out" / "gene_stats.txt").read_text().splitlines()
+    assert gene[0].split("\t") == [
+        "gene", "CODING_T", "CODING_R", "UTR_T", "UTR_R", "INTRONIC_T",
+        "INTRONIC_R", "INTERGENIC_T", "INTERGENIC_R"]
+    row = {l.split("\t")[0]: l.split("\t")[1:] for l in gene[1:]}
+    assert row["G1"] == ["1", "1", "0", "0", "0", "0", "0", "0"]
+    assert row["G2"] == ["0", "0", "0", "0", "1", "0", "0", "0"]
+    cell = (tmp_path / "out" / "cell_stats.txt").read_text().splitlines()
+    crow = {l.split("\t")[0]: l.split("\t")[1:] for l in cell[1:]}
+    assert crow["cell1"] == ["s1", "1", "1", "0", "0", "0", "0", "0", "0"]
