@@ -347,6 +347,13 @@ def _add_simple_programs(sub):
     p.add_argument("--XF", default="XF")
     p.add_argument("--SAMPLE", default="pS")
 
+    p = sub.add_parser("precompile", help="warm the persistent XLA "
+                       "compile cache for all pipeline device shapes")
+    p.add_argument("--nbc", type=int, default=8192,
+                   help="used-barcode list size to warm the sweep for")
+    p.add_argument("--full", action="store_true",
+                   help="also warm tail buckets + internal-scan shapes")
+
     p = sub.add_parser("moleculecounter", help="count distinct (BC,U8)")
     p.add_argument("-I", "--INPUT", required=True)
 
@@ -563,6 +570,9 @@ def cmd_simple(args) -> int:
                                      args.CELLTAG_BC, args.CELLTAG,
                                      args.UMITAG, args.GENETAG, args.XF,
                                      args.SAMPLE)
+    elif args.cmd == "precompile":
+        from sicelore_tpu.utils import precompile
+        r = precompile.warm(n_bc=args.nbc, full=args.full)
     elif args.cmd == "moleculecounter":
         from sicelore_tpu.pipeline import programs2
         r = programs2.molecule_counter(args.INPUT)
@@ -670,7 +680,8 @@ _SIMPLE = {"tagbamwithread", "deduplicatemolecule", "addbammoleculetags",
            "addreadstomolecules", "haplotypecaller", "junctionannotate",
            "annotatemodel", "junctionvalidator", "snpmatrix3pend",
            "addisobam", "parseillumina", "mergescanstats",
-           "splitbamperstage", "crisprstats", "parsefastq", "parsetr"}
+           "splitbamperstage", "crisprstats", "parsefastq", "parsetr",
+           "precompile"}
 
 
 def main(argv=None) -> int:

@@ -636,11 +636,16 @@ class ReadScanModel:
             self._pass1_fn = make_pass1_fn(self.cfg, self.peq_ad,
                                            self.peq_adc, self.peq_tso)
         codes, qv, comp_lens, true_lens = encode_composite(seqs, quals)
-        packed, lens_p, B = self._pack_batch(codes, comp_lens)
-        full = np.concatenate(
-            [packed, lens_p.astype("<u4").view(np.uint8).reshape(-1, 4)],
-            axis=1)
-        arr = np.asarray(self._pass1_fn(jnp.asarray(full)))[:, :B]
+        parts = []
+        for s in range(0, max(len(seqs), 1), self.SLICE):
+            packed, lens_p, B = self._pack_batch(
+                codes[s:s + self.SLICE], comp_lens[s:s + self.SLICE])
+            full = np.concatenate(
+                [packed, lens_p.astype("<u4").view(np.uint8).reshape(-1, 4)],
+                axis=1)
+            parts.append((self._pass1_fn(jnp.asarray(full)), B))
+        arr = np.concatenate(
+            [np.asarray(a)[:, :B] for a, B in parts], axis=1)
         K = len(EDGE_META_KEYS)
         out = unpack_edge_meta(arr[:K])
         compute_qvs_np(qv, comp_lens, out, self.cfg.barcodes.cell_bc_length,
@@ -654,24 +659,36 @@ class ReadScanModel:
         out["bc_kmer_valid"] = arr[K + 2] != 0
         return out
 
+    # device dispatch slice: chunks are cut into fixed SLICE-read batches
+    # so the whole pipeline only ever compiles a handful of shapes
+    # (SLICE plus power-of-two tail buckets) — certain op+shape combos hit
+    # a pathologically slow path in the TPU compiler, so shape diversity
+    # is itself a cost. Slices pipeline on-device back-to-back.
+    SLICE = 8192
+
     def scan_search_async(self, seqs: list[bytes], quals: list[bytes]):
         """Dispatch composite edge scan + BC sweep; returns device handles
         WITHOUT blocking — force with `finish_search` while the device
-        works on the next batch. One upload, one download per batch."""
+        works on the next batch. One upload, one download per SLICE."""
         codes, qv, comp_lens, true_lens = encode_composite(seqs, quals)
-        packed, lens_p, B = self._pack_batch(codes, comp_lens)
-        full = np.concatenate(
-            [packed, lens_p.astype("<u4").view(np.uint8).reshape(-1, 4)],
-            axis=1)
-        combined = self._search_fn(
-            jnp.asarray(full), self.peq_ad, self.peq_adc, self.peq_tso,
-            self._peq_bc, self._nvalid)
-        return combined, qv, comp_lens, B, true_lens
+        parts = []
+        for s in range(0, max(len(seqs), 1), self.SLICE):
+            packed, lens_p, B = self._pack_batch(
+                codes[s:s + self.SLICE], comp_lens[s:s + self.SLICE])
+            full = np.concatenate(
+                [packed, lens_p.astype("<u4").view(np.uint8).reshape(-1, 4)],
+                axis=1)
+            combined = self._search_fn(
+                jnp.asarray(full), self.peq_ad, self.peq_adc, self.peq_tso,
+                self._peq_bc, self._nvalid)
+            parts.append((combined, B))
+        return parts, qv, comp_lens, true_lens
 
     def finish_search(self, handles):
         """Force a scan_search_async result -> (edge dict, best dict)."""
-        combined, qv, comp_lens, B, true_lens = handles
-        arr = np.asarray(combined)[:, :B]
+        parts, qv, comp_lens, true_lens = handles
+        arr = np.concatenate(
+            [np.asarray(c)[:, :B] for c, B in parts], axis=1)
         K = len(EDGE_META_KEYS)
         out = unpack_edge_meta(arr[:K])
         # QVs from the composite qual matrix, in composite coords
