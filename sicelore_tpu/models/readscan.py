@@ -661,10 +661,12 @@ class ReadScanModel:
 
     # device dispatch slice: chunks are cut into fixed SLICE-read batches
     # so the whole pipeline only ever compiles a handful of shapes
-    # (SLICE plus power-of-two tail buckets) — certain op+shape combos hit
-    # a pathologically slow path in the TPU compiler, so shape diversity
-    # is itself a cost. Slices pipeline on-device back-to-back.
-    SLICE = 8192
+    # (SLICE plus power-of-two tail buckets). The remote TPU compile
+    # service's time scales ~quadratically with batch rows (measured:
+    # polyat 1024->32s, 2048->59s, 4096->234s) while the kernels RUN in
+    # ms — 2048 keeps every compile in the ~1-5 min range and slices
+    # pipeline on-device back-to-back, so throughput is unaffected.
+    SLICE = 2048
 
     def scan_search_async(self, seqs: list[bytes], quals: list[bytes]):
         """Dispatch composite edge scan + BC sweep; returns device handles

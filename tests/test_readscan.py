@@ -178,3 +178,12 @@ def test_composite_long_read_remap(model):
     out2 = model.scan_reads([r2["seq"]], [r2["qual"]])
     assert bool(out2["stranded"][0]) and not bool(out2["is_fwd"][0])
     assert int(out2["ae"][0]) == 16 + 2500 + 20 + 12 + 16
+
+
+def test_precompile_warm_smoke(monkeypatch):
+    """precompile.warm runs every pipeline kernel once (CPU backend)."""
+    from sicelore_tpu.models import readscan
+    from sicelore_tpu.utils import precompile
+    monkeypatch.setattr(readscan.ReadScanModel, "SLICE", 256)
+    times = precompile.warm(n_bc=64, full=False, log=lambda *a: None)
+    assert set(times) == {"scan_search_B256", "pass1_B256"}
