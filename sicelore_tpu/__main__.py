@@ -281,8 +281,8 @@ def _add_simple_programs(sub):
     p.add_argument("--MINUMI", type=int, default=1)
     p.add_argument("--ED0ED1RATIO", type=float, default=1.0)
 
-    for nm, hlp in (("filterbammf", "drop mapqv=0 records"),
-                    ("cleanusuq", "strip US/UQ/QS tags"),
+    for nm, hlp in (("filterbammf", "cell-list filter + CB/UB 10x retag"),
+                    ("cleanusuq", "blank US/UQ tags (kept, empty value)"),
                     ("exportumifoundrecords", "keep BC+U8 records"),
                     ("filtermoleculebam", "filter molecules on RN/isoform")):
         p = sub.add_parser(nm, help=hlp)
@@ -291,15 +291,19 @@ def _add_simple_programs(sub):
         if nm == "filtermoleculebam":
             p.add_argument("--MINRN", type=int, default=1)
             p.add_argument("--ISOONLY", action="store_true")
+        if nm == "filterbammf":
+            p.add_argument("-C", "--CSV", required=True,
+                           help="valid cell barcodes csv")
 
-    p = sub.add_parser("addlabel2barcode", help="BC -> label_BC")
+    p = sub.add_parser("addlabel2barcode", help="BC -> BC-LABEL")
     p.add_argument("-I", "--INPUT", required=True)
     p.add_argument("-O", "--OUTPUT", required=True)
     p.add_argument("-L", "--LABEL", required=True)
 
-    p = sub.add_parser("splitbam", help="export records by read-ID list")
+    p = sub.add_parser("splitbam",
+                       help="yes.bam/no.bam by read-name-prefix id list")
     p.add_argument("-I", "--INPUT", required=True)
-    p.add_argument("-O", "--OUTPUT", required=True)
+    p.add_argument("-O", "--OUTPUT", required=True, help="output DIRECTORY")
     p.add_argument("--IDS", required=True)
 
     p = sub.add_parser("splitbampercell", help="one BAM per cell")
@@ -409,10 +413,21 @@ def _add_simple_programs(sub):
     p.add_argument("-R", "--REFFLAT", required=True)
     p.add_argument("-O", "--OUTPUT", required=True)
 
-    p = sub.add_parser("addisobam", help="merge IG/IT tags by (BC,U8)")
+    p = sub.add_parser("addisobam",
+                       help="per-record STRICT isoform re-assignment -> IT")
     p.add_argument("-I", "--INPUT", required=True)
-    p.add_argument("--ISOBAM", required=True)
+    p.add_argument("-R", "--REFFLAT", required=True)
     p.add_argument("-O", "--OUTPUT", required=True)
+    p.add_argument("--DELTA", type=int, default=2)
+    p.add_argument("--MAXCLIP", type=int, default=150)
+
+    p = sub.add_parser("isobam",
+                       help="molinfos-driven record filter + IG/IT tags")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("--MOLINFOS", required=True)
+    p.add_argument("-O", "--OUTPUT", required=True)
+    p.add_argument("--NOUNDEF", action="store_true",
+                   help="drop molecules with transcriptId=undef")
 
     p = sub.add_parser("junctionannotate",
                        help="GT-AG donor/acceptor annotation from genome")
@@ -526,7 +541,7 @@ def cmd_simple(args) -> int:
                                                 args.ED0ED1RATIO)
     elif args.cmd == "filterbammf":
         from sicelore_tpu.pipeline import programs2
-        r = programs2.filter_bam_mf(args.INPUT, args.OUTPUT)
+        r = programs2.filter_bam_mf(args.INPUT, args.OUTPUT, args.CSV)
     elif args.cmd == "filtermoleculebam":
         from sicelore_tpu.pipeline import programs2
         r = programs2.filter_molecule_bam(args.INPUT, args.OUTPUT,
@@ -612,7 +627,12 @@ def cmd_simple(args) -> int:
                                       args.OUTPUT)
     elif args.cmd == "addisobam":
         from sicelore_tpu.pipeline import annotate
-        r = annotate.add_isobam(args.INPUT, args.ISOBAM, args.OUTPUT)
+        r = annotate.add_isobam(args.INPUT, args.REFFLAT, args.OUTPUT,
+                                delta=args.DELTA, max_clip=args.MAXCLIP)
+    elif args.cmd == "isobam":
+        from sicelore_tpu.pipeline import annotate
+        r = annotate.isobam(args.INPUT, args.MOLINFOS, args.OUTPUT,
+                            undef=not args.NOUNDEF)
     elif args.cmd == "junctionannotate":
         from sicelore_tpu.pipeline import programs2
         r = programs2.junction_annotate(args.REFFLAT, args.GENOME,
@@ -679,7 +699,7 @@ _SIMPLE = {"tagbamwithread", "deduplicatemolecule", "addbammoleculetags",
            "splitbampercluster", "moleculecounter", "exportmoleculereads",
            "addreadstomolecules", "haplotypecaller", "junctionannotate",
            "annotatemodel", "junctionvalidator", "snpmatrix3pend",
-           "addisobam", "parseillumina", "mergescanstats",
+           "addisobam", "isobam", "parseillumina", "mergescanstats",
            "splitbamperstage", "crisprstats", "parsefastq", "parsetr",
            "precompile"}
 

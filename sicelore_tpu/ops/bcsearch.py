@@ -139,6 +139,117 @@ def bc_sweep_pallas(windows: jax.Array, peq: jax.Array, nvalid: jax.Array,
     )(nvalid, windows.T, peq)
 
 
+# ---------------------------------------------------------------------------
+# MXU q-gram prefilter search (large used lists)
+# ---------------------------------------------------------------------------
+#
+# The brute sweep costs O(B * N * W) VPU work. For large N the TPU-native
+# answer is to put the candidate generation on the MXU: by the q-gram lemma
+# (Ukkonen), ED(pattern, s) <= k implies pattern and s share at least
+# (m - q + 1) - q*k  q-grams (bag semantics). With q = 4 the 256-dim 4-gram
+# count vectors of the read window and of every barcode turn "shared >= T"
+# into one [B, 256] x [256, N] matmul: dot(counts_w, counts_b) >= bag
+# intersection, so dot < T proves ED > k (no false negatives; false
+# positives are verified). Only the top-K scoring candidates per read then
+# run the exact Myers verify on the VPU — the same semantics as the
+# reference's ED-neighborhood enumeration with bailout radius
+# (jar BCnucTwoBitPerBaseEDtester, bailoutIfFoundAfterED): results are
+# exact within `radius`, and ed/ed2 beyond the radius report as not-found.
+QGRAM_Q = 4
+
+
+def build_qgram_table(patterns: np.ndarray) -> np.ndarray:
+    """[N, m] int8 barcode codes (all < 4) -> [256, N] float32 4-gram
+    counts, the MXU operand of the prefilter matmul."""
+    N, m = patterns.shape
+    ng = m - QGRAM_Q + 1
+    out = np.zeros((256, N), np.float32)
+    ids = np.zeros((N, ng), np.int32)
+    for i in range(QGRAM_Q):
+        ids = (ids << 2) | np.minimum(patterns[:, i:ng + i], 3).astype(np.int32)
+    cols = np.broadcast_to(np.arange(N)[:, None], ids.shape)
+    np.add.at(out, (ids.ravel(), cols.ravel()), 1.0)
+    return out
+
+
+def qgram_threshold(m: int, radius: int) -> int:
+    """Minimal shared-4-gram count compatible with ED <= radius."""
+    return (m - QGRAM_Q + 1) - QGRAM_Q * radius
+
+
+@functools.partial(jax.jit, static_argnames=("m", "radius", "K"))
+def qgram_prefilter_search(windows: jax.Array, qgram_t: jax.Array,
+                           peq: jax.Array, nvalid: jax.Array, m: int,
+                           radius: int, K: int = 64):
+    """Candidate-pruned barcode search, exact within `radius`.
+
+    windows [B, W] int8; qgram_t [256, N] float32 (build_qgram_table);
+    peq [4, N] uint32; nvalid [1] int32.
+    Returns out [5, B] int32 (best_ed, best_idx, second_ed, best_end_pos,
+    overflow): best/second are BIG when no barcode lies within `radius`;
+    ties pick the lowest whitelist index (matching the brute kernel).
+    overflow[b] = 1 when more than K candidates passed the q-gram
+    threshold — caller must re-run those reads through the exact sweep.
+    """
+    B, W = windows.shape
+    N = qgram_t.shape[1]
+    T = float(qgram_threshold(m, radius))
+    w = windows.astype(jnp.int32)
+    ng = W - QGRAM_Q + 1
+    ids = jnp.zeros((B, ng), jnp.int32)
+    ok = jnp.ones((B, ng), bool)
+    for i in range(QGRAM_Q):
+        c = w[:, i:ng + i]
+        ok &= c < 4
+        ids = (ids << 2) | jnp.minimum(c, 3)
+    onehot = (ids[:, :, None] == jnp.arange(256, dtype=jnp.int32)[None, None, :])
+    counts = jnp.sum(jnp.where(ok[:, :, None], onehot, False),
+                     axis=1).astype(jnp.bfloat16)
+    scores = jnp.dot(counts, qgram_t.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)  # [B, N]
+    lane = jnp.arange(N, dtype=jnp.int32)[None, :] < nvalid[0]
+    scores = jnp.where(lane, scores, -1.0)
+    overflow = (jnp.sum(scores >= T, axis=1) > K).astype(jnp.int32)
+    top_s, top_i = jax.lax.top_k(scores, K)          # [B, K]
+    cand_ok = top_s >= T
+
+    # exact Myers verify on the K candidates (per-read pattern set)
+    peq_c = jnp.stack([peq[c][top_i] for c in range(4)], axis=0)  # [4, B, K]
+    hibit = jnp.uint32(m - 1)
+    full = jnp.uint32((1 << m) - 1) if m < 32 else jnp.uint32(0xFFFFFFFF)
+
+    def step(carry, inp):
+        PV, MV, score, best, best_pos = carry
+        wc, t = inp
+        z = jnp.uint32(0)
+        eq = jnp.where((wc == 0)[:, None], peq_c[0],
+              jnp.where((wc == 1)[:, None], peq_c[1],
+               jnp.where((wc == 2)[:, None], peq_c[2],
+                jnp.where((wc == 3)[:, None], peq_c[3], z))))
+        PV, MV, score = editdist._hyyro_step(PV, MV, score, eq, hibit, 0)
+        improved = score < best
+        best = jnp.where(improved, score, best)
+        best_pos = jnp.where(improved, t, best_pos)
+        return (PV, MV, score, best, best_pos), None
+
+    PV0 = jnp.full((B, K), full, jnp.uint32)
+    MV0 = jnp.zeros((B, K), jnp.uint32)
+    s0 = jnp.full((B, K), m, jnp.int32)
+    bp0 = jnp.full((B, K), -1, jnp.int32)
+    (_, _, _, ed, pos), _ = jax.lax.scan(
+        step, (PV0, MV0, s0, s0, bp0),
+        (windows.T.astype(jnp.int8), jnp.arange(W, dtype=jnp.int32)))
+
+    inrad = cand_ok & (ed <= radius)
+    ed = jnp.where(inrad, ed, BIG)
+    gidx = jnp.where(inrad, top_i, BIG)
+    b1 = jnp.min(ed, axis=1)
+    i1 = jnp.min(jnp.where(ed == b1[:, None], gidx, BIG), axis=1)
+    b2 = jnp.min(jnp.where(gidx == i1[:, None], BIG, ed), axis=1)
+    p1 = jnp.max(jnp.where(gidx == i1[:, None], pos, -1), axis=1)
+    return jnp.stack([b1, jnp.minimum(i1, BIG), b2, p1, overflow], axis=0)
+
+
 def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"

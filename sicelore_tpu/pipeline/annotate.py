@@ -13,8 +13,11 @@ SNPMatrix3pend (programs/SNPMatrix3pend.java): spliced distance of SNV
 positions to the molecule's isoform 3' end (TranscriptRecord.getDistanceTo3p,
 TranscriptRecord.java:413-444).
 
-AddIsoBam (programs/AddIsoBam.java / Isobam.java): merge IG/IT molecule
-tags from an isobam into another BAM by (BC, U8).
+AddIsoBam (programs/AddIsoBam.java:78-106): per-record STRICT isoform
+re-assignment from a refFlat model -> IT tag.
+
+Isobam (programs/Isobam.java:54-99): molinfos-table-driven record
+filtering + IG/IT tagging.
 """
 from __future__ import annotations
 
@@ -161,24 +164,71 @@ def _distance_to_3p(t: TranscriptRecord, pos: int) -> int:
     return dist
 
 
-def add_isobam(in_bam, isobam, out_bam, cell_tag="BC", umi_tag="U8"):
-    """Merge IG/IT tags from an isobam into another BAM by (BC, U8)."""
-    mapping = {}
-    with BamReader(isobam) as rd:
-        for r in rd:
-            bc, u8 = r.get_tag(cell_tag), r.get_tag(umi_tag)
-            ig, it = r.get_tag("IG"), r.get_tag("IT")
-            if bc and u8 and ig:
-                mapping[(bc, u8)] = (ig, it or "undef")
-    n = tagged = 0
+def isobam(in_bam, molinfos_txt, out_bam, undef: bool = True,
+           cell_tag="BC", umi_tag="U8", gene_tag="IG", iso_tag="IT"):
+    """Isobam (programs/Isobam.java:54-99): molinfos-driven record
+    FILTER + tagging. Load the `_molinfos.txt` table (cellBC, UMI,
+    nbReads, nbSupportingReads, mappingPctId, snpPhredScore, geneId,
+    transcriptId); only records whose `BC:U8` key appears are written,
+    with GENETAG/ISOTAG set from the table. With undef=False, molecules
+    whose transcriptId is "undef" are excluded from the table (and thus
+    their records dropped)."""
+    gene_ids: dict[str, str] = {}
+    transcript_ids: dict[str, str] = {}
+    with open(molinfos_txt) as fh:
+        for line in fh:
+            tmp = line.rstrip("\n").split("\t")
+            if len(tmp) < 8:
+                continue
+            if undef or tmp[7] != "undef":
+                key = tmp[0] + ":" + tmp[1]
+                gene_ids[key] = tmp[6]
+                transcript_ids[key] = tmp[7]
+    n = kept = 0
     with BamReader(in_bam) as rd, BamWriter(out_bam, rd.header) as w:
         for r in rd:
             n += 1
-            key = (r.get_tag(cell_tag), r.get_tag(umi_tag))
-            m = mapping.get(key)
-            if m:
-                r.set_tag("IG", m[0], "Z")
-                r.set_tag("IT", m[1], "Z")
+            key = f"{r.get_tag(cell_tag)}:{r.get_tag(umi_tag)}"
+            if key in gene_ids:
+                r.set_tag(gene_tag, gene_ids[key], "Z")
+                r.set_tag(iso_tag, transcript_ids[key], "Z")
+                kept += 1
+                w.write(r)
+    return {"records": n, "kept": kept}
+
+
+def add_isobam(in_bam, refflat, out_bam, delta: int = 2, max_clip: int = 150,
+               tags=None, seed: int = 0):
+    """AddIsoBam (programs/AddIsoBam.java:78-106): re-run STRICT isoform
+    assignment per SAM record against the refFlat model (one single-read
+    molecule per record) and write the result into the IT tag. Distinct
+    from `isobam` (table-driven filter)."""
+    from sicelore_tpu.core.longread import Longread, LongreadRecord, TagConfig
+    from sicelore_tpu.core.molecule import Molecule, MoleculeDataset
+    tags = tags or TagConfig(max_clip=max_clip)
+    model = RefFlatModel.load(refflat)
+    ds = MoleculeDataset.__new__(MoleculeDataset)
+    ds.model = model
+    from sicelore_tpu.core.molecule import IsoformStats
+    ds.stats = IsoformStats()
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    n = tagged = 0
+    with BamReader(in_bam) as rd, BamWriter(out_bam, rd.header) as w:
+        ref_names = [nm for nm, _ in rd.header.refs]
+        for r in rd:
+            n += 1
+            rec = LongreadRecord.from_bam_record(r, ref_names, tags)
+            it = "undef"
+            if rec is not None:
+                lr = Longread(rec.name)
+                lr.add(rec)
+                mol = Molecule(lr.barcode, lr.umi, 1)
+                mol.add_longread(lr)
+                ds._set_isoform_strict(mol, delta, rng)
+                it = mol.transcript_id or "undef"
+            r.set_tag("IT", it, "Z")
+            if it != "undef":
                 tagged += 1
             w.write(r)
-    return {"records": n, "tagged": tagged}
+    return {"records": n, "isoform_defined": tagged}

@@ -41,15 +41,24 @@ def select_valid_cell_barcode(input_tsv, output_csv, min_umi: int = 1,
     return {"total_barcodes": total, "kept_barcodes": kept}
 
 
-def filter_bam_mf(in_bam, out_bam):
-    """FilterBamMF: drop mapqv==0 records, keep everything else."""
+def filter_bam_mf(in_bam, out_bam, cells_csv, cell_tag="BC", umi_tag="U8"):
+    """FilterBamMF (programs/FilterBamMF.java:40-66): keep records whose
+    cell tag is in the cell list; retag for 10x-tool compatibility —
+    CB = BC + "-1", UB = U8 — and truncate the read name at the first "="
+    (name.split("=")[0])."""
+    from sicelore_tpu.core.matrix import load_cell_list
+    cells = set(load_cell_list(cells_csv))
     n = kept = 0
     with BamReader(in_bam) as rd, BamWriter(out_bam, rd.header) as w:
         for r in rd:
             n += 1
-            if r.mapq == 0:
+            bc = r.get_tag(cell_tag)
+            if bc not in cells:
                 continue
             kept += 1
+            r.set_tag("CB", bc + "-1", "Z")
+            r.set_tag("UB", r.get_tag(umi_tag), "Z")
+            r.qname = r.qname.split("=")[0]
             w.write(r)
     return {"records": n, "kept": kept}
 
@@ -74,41 +83,54 @@ def filter_molecule_bam(in_bam, out_bam, min_rn: int = 1,
 
 
 def add_label_to_barcode(in_bam, out_bam, label: str, cell_tag="BC"):
-    """AddLabel2Barcode: BC -> label_BC (sample multiplexing)."""
+    """AddLabel2Barcode (programs/AddLabel2Barcode.java:60-61):
+    BC -> "BC-LABEL" (sample multiplexing; label appended after a dash)."""
     n = 0
     with BamReader(in_bam) as rd, BamWriter(out_bam, rd.header) as w:
         for r in rd:
             bc = r.get_tag(cell_tag)
-            if bc is not None:
-                r.set_tag(cell_tag, f"{label}_{bc}", "Z")
-                n += 1
+            # Java string concat renders a missing tag as "null"
+            r.set_tag(cell_tag, f"{bc if bc is not None else 'null'}-{label}",
+                      "Z")
+            n += 1
             w.write(r)
     return {"relabeled": n}
 
 
-def clean_usuq(in_bam, out_bam, tags=("US", "UQ", "QS")):
-    """CleanUSUQ: strip bulky read-sequence tags."""
+def clean_usuq(in_bam, out_bam, us_tag="US", uq_tag="UQ"):
+    """CleanUSUQ (programs/CleanUSUQ.java:45-47): blank the bulky read
+    sequence/quality tags — set them to the EMPTY STRING (the tags stay
+    present in the record, matching the reference bytes out)."""
     n = 0
     with BamReader(in_bam) as rd, BamWriter(out_bam, rd.header) as w:
         for r in rd:
-            before = len(r.tags)
-            r.tags = [t for t in r.tags if t[0] not in tags]
-            n += before - len(r.tags)
+            r.set_tag(us_tag, "", "Z")
+            r.set_tag(uq_tag, "", "Z")
+            n += 1
             w.write(r)
-    return {"tags_removed": n}
+    return {"records": n}
 
 
-def split_bam(in_bam, out_bam, read_ids_file):
-    """SplitBam: export records whose read names are in the given list."""
-    ids = {l.strip() for l in open(read_ids_file) if l.strip()}
+def split_bam(in_bam, out_dir, read_ids_file):
+    """SplitBam (programs/SplitBam.java:49-77): route records to
+    OUTPUT/yes.bam or OUTPUT/no.bam by membership of the read-name PREFIX
+    (name.split("_")[0]) in the id list ("@" stripped from list lines)."""
+    ids = {l.strip().replace("@", "") for l in open(read_ids_file)
+           if l.strip()}
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
     n = kept = 0
-    with BamReader(in_bam) as rd, BamWriter(out_bam, rd.header) as w:
+    with BamReader(in_bam) as rd, \
+            BamWriter(out_dir / "yes.bam", rd.header) as yes, \
+            BamWriter(out_dir / "no.bam", rd.header) as no:
         for r in rd:
             n += 1
-            if r.qname in ids:
+            if r.qname.split("_")[0] in ids:
                 kept += 1
-                w.write(r)
-    return {"records": n, "kept": kept}
+                yes.write(r)
+            else:
+                no.write(r)
+    return {"records": n, "yes": kept, "no": n - kept}
 
 
 def split_bam_per_cluster(in_bam, out_dir, cluster_csv, cell_tag="BC",

@@ -77,14 +77,48 @@ def test_snp3pend_and_addisobam(tmp_path):
     # (TranscriptRecord.java:413-444): (200-150) + (400-301) + (600-501)
     assert line.endswith("TRA1\t248")
 
-    iso = tmp_path / "iso.bam"
-    with BamWriter(iso, HDR) as w:
-        w.write(BamRecord(qname="x", flag=0, ref_id=0, pos=100, mapq=60,
-                          cigar=[("M", 10)], seq="A" * 10, qual=b"\x28" * 10,
+    # AddIsoBam (AddIsoBam.java:78-106): per-record STRICT re-assignment.
+    # Build a record whose junction structure exactly matches TRA1.
+    iso_in = tmp_path / "iso_in.bam"
+    with BamWriter(iso_in, HDR) as w:
+        w.write(BamRecord(qname="y", flag=0, ref_id=0, pos=100, mapq=60,
+                          cigar=[("M", 100), ("N", 100), ("M", 100),
+                                 ("N", 100), ("M", 100)],
+                          seq="A" * 300, qual=b"\x28" * 300,
                           tags=[("BC", "Z", "C1"), ("U8", "Z", "U1"),
-                                ("IG", "Z", "GENEA"), ("IT", "Z", "TRA1")]))
-    r = annotate.add_isobam(p, iso, tmp_path / "merged.bam")
-    assert r == {"records": 1, "tagged": 1}
+                                ("GE", "Z", "GENEA")]))
+        w.write(BamRecord(qname="z", flag=0, ref_id=0, pos=100, mapq=60,
+                          cigar=[("M", 50)], seq="A" * 50, qual=b"\x28" * 50,
+                          tags=[("BC", "Z", "C1"), ("U8", "Z", "U2"),
+                                ("GE", "Z", "GENEA")]))
+    r = annotate.add_isobam(iso_in, tmp_path / "m.refFlat",
+                            tmp_path / "merged.bam")
+    assert r == {"records": 2, "isoform_defined": 1}
     with BamReader(tmp_path / "merged.bam") as rd:
-        rec = next(iter(rd))
-    assert rec.get_tag("IG") == "GENEA" and rec.get_tag("IT") == "TRA1"
+        its = [x.get_tag("IT") for x in rd]
+    assert its == ["TRA1", "undef"]
+
+
+def test_isobam_molinfos(tmp_path):
+    """Isobam (Isobam.java:54-99): molinfos-driven record filter + tags."""
+    mol = tmp_path / "x_molinfos.txt"
+    mol.write_text(
+        "cellBC\tUMI\tnbReads\tnbSupportingReads\tmappingPctId"
+        "\tsnpPhredScore\tgeneId\ttranscriptId\n"
+        "C1\tU1\t2\t1\t0.95\t\tGENEA\tTRA1\n"
+        "C1\tU2\t1\t0\t0.90\t\tGENEA\tundef\n")
+    p = tmp_path / "in.bam"
+    with BamWriter(p, HDR) as w:
+        for nm, u8 in (("a", "U1"), ("b", "U2"), ("c", "U3")):
+            w.write(BamRecord(qname=nm, flag=0, ref_id=0, pos=100, mapq=60,
+                              cigar=[("M", 10)], seq="A" * 10,
+                              qual=b"\x28" * 10,
+                              tags=[("BC", "Z", "C1"), ("U8", "Z", u8)]))
+    r = annotate.isobam(p, mol, tmp_path / "o.bam")
+    assert r == {"records": 3, "kept": 2}  # U3 not in molinfos -> dropped
+    with BamReader(tmp_path / "o.bam") as rd:
+        rows = [(x.qname, x.get_tag("IG"), x.get_tag("IT")) for x in rd]
+    assert rows == [("a", "GENEA", "TRA1"), ("b", "GENEA", "undef")]
+    # UNDEF=false drops undef molecules' records too (Isobam.java:73-79)
+    r = annotate.isobam(p, mol, tmp_path / "o2.bam", undef=False)
+    assert r["kept"] == 1

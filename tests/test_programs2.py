@@ -37,22 +37,36 @@ def test_select_valid_cell_barcode(tmp_path):
 
 def test_filters_and_tags(tmp_path):
     recs = [_rec("r0", mapq=0),
-            _rec("r1", tags=[("BC", "Z", "X"), ("U8", "Z", "U"),
-                             ("RN", "i", 3), ("IT", "Z", "TR1"),
-                             ("US", "Z", "AAAA"), ("QS", "Z", "IIII")]),
+            _rec("r1=extra_stuff",
+                 tags=[("BC", "Z", "X"), ("U8", "Z", "U"),
+                       ("RN", "i", 3), ("IT", "Z", "TR1"),
+                       ("US", "Z", "AAAA"), ("QS", "Z", "IIII")]),
             _rec("r2", tags=[("BC", "Z", "X"), ("RN", "i", 1),
                              ("IT", "Z", "undef")])]
     p = _bam(tmp_path, recs)
-    assert programs2.filter_bam_mf(p, tmp_path / "a.bam")["kept"] == 2
+    # FilterBamMF (FilterBamMF.java:49-66): cell-list filter + 10x retag
+    (tmp_path / "cells.csv").write_text("X-1\n")
+    assert programs2.filter_bam_mf(p, tmp_path / "a.bam",
+                                   tmp_path / "cells.csv")["kept"] == 2
+    with BamReader(tmp_path / "a.bam") as rd:
+        out = list(rd)
+    assert [r.qname for r in out] == ["r1", "r2"]  # name cut at "="
+    assert out[0].get_tag("CB") == "X-1" and out[0].get_tag("UB") == "U"
     assert programs2.filter_molecule_bam(
         p, tmp_path / "b.bam", min_rn=2, require_isoform=True)["kept"] == 1
     assert programs2.export_umifound_records(
         p, tmp_path / "c.bam")["kept"] == 1
-    assert programs2.clean_usuq(p, tmp_path / "d.bam")["tags_removed"] == 2
+    # CleanUSUQ (CleanUSUQ.java:45-47): tags kept, value -> ""
+    programs2.clean_usuq(p, tmp_path / "d.bam")
+    with BamReader(tmp_path / "d.bam") as rd:
+        rr = list(rd)
+    assert rr[1].get_tag("US") == "" and rr[1].get_tag("UQ") == ""
+    assert rr[1].get_tag("QS") == "IIII"  # untouched (reference keeps QS)
+    # AddLabel2Barcode (AddLabel2Barcode.java:60-61): BC -> BC-LABEL
     programs2.add_label_to_barcode(p, tmp_path / "e.bam", "S1")
     with BamReader(tmp_path / "e.bam") as rd:
         tags = [r.get_tag("BC") for r in rd]
-    assert tags == [None, "S1_X", "S1_X"]
+    assert tags == ["null-S1", "X-S1", "X-S1"]
     assert programs2.molecule_counter(p)["molecules"] == 1
 
 
@@ -62,9 +76,16 @@ def test_split_and_export(tmp_path):
                                 ("QS", "Z", "I" * 20)])
             for i in range(4)]
     p = _bam(tmp_path, recs)
-    (tmp_path / "ids.txt").write_text("r1\nr3\n")
-    assert programs2.split_bam(p, tmp_path / "s.bam",
-                               tmp_path / "ids.txt")["kept"] == 2
+    # SplitBam (SplitBam.java:49-77): "@" stripped, match on name prefix
+    # before "_", yes.bam AND no.bam written
+    p2 = _bam(tmp_path, recs + [_rec("r1_GENE_BC")], "in2.bam")
+    (tmp_path / "ids.txt").write_text("@r1\nr3\n\n")
+    r = programs2.split_bam(p2, tmp_path / "sb", tmp_path / "ids.txt")
+    assert r == {"records": 5, "yes": 3, "no": 2}
+    with BamReader(tmp_path / "sb" / "yes.bam") as rd:
+        assert [x.qname for x in rd] == ["r1", "r3", "r1_GENE_BC"]
+    with BamReader(tmp_path / "sb" / "no.bam") as rd:
+        assert [x.qname for x in rd] == ["r0", "r2"]
     (tmp_path / "clusters.csv").write_text("C0,alpha\nC1,beta\n")
     r = programs2.split_bam_per_cluster(p, tmp_path / "cl",
                                         tmp_path / "clusters.csv")
