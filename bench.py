@@ -1,11 +1,16 @@
-"""Headline benchmark: scanfastq device path — reads/s on one chip.
+"""Headline benchmarks on one chip.
 
-Measures the fused edge scan (stranding + polyA/adapter/TSO + BC-window
-extraction) plus the Pallas whitelist ED sweep — the compute path of
-reference Step 1, whose baseline is ~20.8k reads/s on a 96-core Promethion
-tower (/root/reference/README.md:106; BASELINE.md).
+1. scanfastq device path (headline): fused edge scan (stranding + polyA/
+   adapter/TSO geometry) + used-list barcode search — reference Step 1,
+   baseline ~20.8k reads/s on a 96-core Promethion tower
+   (/root/reference/README.md:106; BASELINE.md).
+2. consensus: batched banded-DP POA engine (spoa replacement) on a
+   WTA-shaped molecule mix — baseline ~167 UMIs/s on 20 cores
+   (/root/reference/README.md:1146-1147).
+3. honest end-to-end: fastq dir in -> passed/ fastq out (pass 1 + chimera
+   scan + pass 2 + read-name metadata + writes) on >= 100k reads.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 from __future__ import annotations
 
@@ -15,11 +20,11 @@ import time
 import numpy as np
 
 BASELINE_READS_PER_S = 20_800.0  # 100M reads / 80 min, 96 cores
+BASELINE_UMIS_PER_S = 167.0      # 600k UMIs/hour, 20 threads + spoa
 
 
-def main(verbose: bool = False):
+def _setup_cache():
     import jax
-    import jax.numpy as jnp
     try:  # persistent compile cache: first run pays, later runs are instant
         jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -27,47 +32,49 @@ def main(verbose: bool = False):
     except Exception:
         pass
 
+
+def _make_reads(rng, wl, n, error_rate=0.05):
+    from sicelore_tpu.utils import synth
+    base = [synth.make_read(rng, wl[int(rng.integers(0, len(wl)))],
+                            cdna_len=int(rng.integers(300, 700)),
+                            error_rate=error_rate, reverse=bool(i % 2))
+            for i in range(min(n, 2048))]
+    seqs = [base[i % len(base)]["seq"] for i in range(n)]
+    quals = [base[i % len(base)]["qual"] for i in range(n)]
+    return seqs, quals
+
+
+def bench_scan(verbose=False):
+    """Pass-2 hot path: 2-bit mega-batch upload -> lax.map(edge scan +
+    MXU q-gram prefilter + Myers verify) -> packed int16 download,
+    depth-2 pipelined (device works batch i+1 while host emits batch i)."""
     from sicelore_tpu.models import readscan
-    from sicelore_tpu.ops import bcsearch, editdist
     from sicelore_tpu.utils import dna, synth
-    from sicelore_tpu.utils.config import PipelineConfig
 
-    cfg = PipelineConfig()
     rng = np.random.default_rng(0)
-    B = 8192
+    B = 32768
     N_BC = 8192  # used-barcode list size (large experiment)
-
     wl = synth.make_whitelist(rng, N_BC)
-    reads = [synth.make_read(rng, wl[int(rng.integers(0, N_BC))],
-                             cdna_len=int(rng.integers(300, 700)),
-                             error_rate=0.05, reverse=bool(i % 2))
-             for i in range(2048)]
-    # tile to B reads (encode cost dominated by device path anyway)
-    seqs = [reads[i % len(reads)]["seq"] for i in range(B)]
-    quals = [reads[i % len(reads)]["qual"] for i in range(B)]
-    codes, qv, comp_lens, _ = readscan.encode_composite(seqs, quals)
-
-    model = readscan.ReadScanModel(cfg)
+    seqs, quals = _make_reads(rng, wl, B)
     pats, _ = dna.encode_batch([w.encode() for w in wl], 16)
-    peq = editdist.build_peq(pats)
-    model.prepare_search(peq, N_BC)
 
-    # warmup / compile (the real pipeline encodes composites per chunk; the
-    # bench measures the device path + transfers, pipelined as in pass 2)
+    model = readscan.ReadScanModel()
+    model.prepare_search(pats, N_BC, radius=2)
+
     t0 = time.time()
     h = model.scan_search_async(seqs, quals)
     out, res = model.finish_search(h)
     if verbose:
         import sys
-        print(f"compile+first batch: {time.time()-t0:.1f}s", file=sys.stderr)
+        print(f"scan compile+first: {time.time() - t0:.1f}s "
+              f"(mode={model._mode})", file=sys.stderr)
     assert float(np.mean(out["stranded"])) > 0.9
     assert float(np.mean(res["ed"] <= 2)) > 0.8
 
-    iters = 12
-    depth = 3  # batches in flight (hides tunnel RTT + device latency)
-    t0 = time.time()
+    iters, depth = 10, 2
     from collections import deque
     q = deque()
+    t0 = time.time()
     for _ in range(depth):
         q.append(model.scan_search_async(seqs, quals))
     for _ in range(iters - depth):
@@ -76,13 +83,95 @@ def main(verbose: bool = False):
     while q:
         model.finish_search(q.popleft())
     dt = (time.time() - t0) / iters
-    reads_per_s = B / dt
+    return B / dt
 
+
+def bench_consensus(verbose=False):
+    """WTA-shaped molecule mix (README.md:1146: ~50% molecules multi-read):
+    50% 1-read, 20% 2-read, 30% 3..12-read molecules, 400-900 nt cDNA at
+    3% error. Measures molecules/s through the batched device engine."""
+    from sicelore_tpu.ops.poa_tpu import BatchedConsensusEngine
+    from sicelore_tpu.utils import synth
+
+    rng = np.random.default_rng(1)
+    M = 2000
+    molecules = []
+    for i in range(M):
+        u = rng.random()
+        n_reads = (1 if u < 0.5 else
+                   2 if u < 0.7 else int(rng.integers(3, 13)))
+        true = synth.random_seq(rng, int(rng.integers(400, 900)))
+        molecules.append([synth.mutate(rng, true, 0.03).encode()
+                          for _ in range(n_reads)])
+    engine = BatchedConsensusEngine()
+    t0 = time.time()
+    engine(molecules[:64])  # compile
+    if verbose:
+        import sys
+        print(f"consensus compile+first: {time.time() - t0:.1f}s",
+              file=sys.stderr)
+    t0 = time.time()
+    res = engine(molecules)
+    dt = time.time() - t0
+    assert len(res) == M and all(r[0] for r in res)
+    return M / dt
+
+
+def bench_e2e(verbose=False, n_reads=102_400):
+    """Honest end-to-end: synthetic fastq dir -> ScanFastqPipeline.run
+    (pass 1, used-list build, chimera scan, pass 2, fastq/stats writes)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from sicelore_tpu.pipeline.scanfastq import ScanFastqPipeline
+    from sicelore_tpu.utils import synth
+
+    rng = np.random.default_rng(2)
+    N_BC = 384  # cells in the library (pass 1 discovers them)
+    wl_cells = synth.make_whitelist(rng, N_BC)
+    # whitelist = cells + decoys (pass-1 search space)
+    wl = wl_cells + synth.make_whitelist(np.random.default_rng(3), 8192)
+    seqs, quals = _make_reads(rng, wl_cells, n_reads, error_rate=0.04)
+
+    tmp = Path(tempfile.mkdtemp(prefix="bench_e2e_"))
+    try:
+        fq_dir = tmp / "fastq"
+        fq_dir.mkdir()
+        per_file = n_reads // 4
+        k = 0
+        for f in range(4):
+            with open(fq_dir / f"part{f}.fastq", "wb") as fh:
+                for i in range(per_file):
+                    fh.write(b"@read%d\n" % k + seqs[k] + b"\n+\n"
+                             + quals[k] + b"\n")
+                    k += 1
+        pipe = ScanFastqPipeline(whitelist=wl, chunk_size=32768)
+        t0 = time.time()
+        stats = pipe.run([fq_dir], tmp / "out")
+        dt = time.time() - t0
+        assert stats.bc_assigned > 0.8 * k, stats.to_json()
+        return k / dt
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main(verbose: bool = False):
+    _setup_cache()
+    scan_rps = bench_scan(verbose)
+    umis_ps = bench_consensus(verbose)
+    e2e_rps = bench_e2e(verbose)
     print(json.dumps({
         "metric": "scanfastq_reads_per_s_per_chip",
-        "value": round(reads_per_s, 1),
+        "value": round(scan_rps, 1),
         "unit": "reads/s",
-        "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 2),
+        "vs_baseline": round(scan_rps / BASELINE_READS_PER_S, 2),
+        "extra": {
+            "consensus_umis_per_s": round(umis_ps, 1),
+            "consensus_vs_baseline": round(umis_ps / BASELINE_UMIS_PER_S, 2),
+            "e2e_scanfastq_reads_per_s": round(e2e_rps, 1),
+            "e2e_vs_baseline": round(e2e_rps / BASELINE_READS_PER_S, 2),
+        },
     }))
 
 

@@ -61,41 +61,60 @@ class CollapsedModel:
     def load_isobam(self, isobam, cells: set[str],
                     tags: TagConfig | None = None, gene_tag="IG",
                     isoform_tag="IT"):
+        """Per-chromosome indexed pass when the isobam is coordinate-
+        sorted (the reference's indexed per-chrom query,
+        UCSCRefFlatParser.java:138-208); streaming fallback otherwise."""
         tags = tags or TagConfig()
+        try:
+            from sicelore_tpu.io.bam import IndexedBamReader
+            with IndexedBamReader(isobam) as rd:
+                ref_names = [n for n, _ in rd.header.refs]
+                for chrom, length in rd.header.refs:
+                    for r in rd.fetch(chrom, 0, length):
+                        self._load_record(r, ref_names, cells, tags,
+                                          gene_tag, isoform_tag)
+            return
+        except (ValueError, OSError):
+            pass
         with BamReader(isobam) as rd:
             ref_names = [n for n, _ in rd.header.refs]
             for r in rd:
-                bc = r.get_tag(tags.cell)
-                it = r.get_tag(isoform_tag)
-                ig = r.get_tag(gene_tag)
-                rn = int(r.get_tag(tags.rn) or 1)
-                lrr = LongreadRecord.from_bam_record(r, ref_names, tags,
-                                                     load_sequence=True)
-                if (lrr is None or lrr.mapqv == 0 or lrr.is_chimeric
-                        or rn < self.rn_min or bc.replace("-1", "") not in cells):
-                    continue
-                if not ig or ig == "undef":
-                    continue
-                lst = self.by_gene.setdefault(ig, [])
-                it = it or "undef"
-                tr = None
-                for t in lst:
-                    if t.transcript_id == it:
-                        tr = t
-                        break
-                if tr is None:
-                    if it != "undef":
-                        tr = self.refmodel.select_one(ig, it)
-                    if tr is None:
-                        tr = TranscriptRecord(
-                            gene_id=ig, transcript_id=it, chrom=lrr.chrom,
-                            strand="+", tx_start=0, tx_end=0, cds_start=0,
-                            cds_end=0, exons=[],
-                            junctions=np.zeros((0, 2), np.int64))
-                        tr.is_known = it != "undef"
-                        tr.is_novel = not tr.is_known
-                    lst.append(tr)
-                tr.evidence.append(lrr)
+                self._load_record(r, ref_names, cells, tags, gene_tag,
+                                  isoform_tag)
+
+    def _load_record(self, r, ref_names, cells, tags, gene_tag,
+                     isoform_tag):
+        bc = r.get_tag(tags.cell)
+        it = r.get_tag(isoform_tag)
+        ig = r.get_tag(gene_tag)
+        rn = int(r.get_tag(tags.rn) or 1)
+        lrr = LongreadRecord.from_bam_record(r, ref_names, tags,
+                                             load_sequence=True)
+        if (lrr is None or lrr.mapqv == 0 or lrr.is_chimeric
+                or rn < self.rn_min or bc.replace("-1", "") not in cells):
+            return
+        if not ig or ig == "undef":
+            return
+        lst = self.by_gene.setdefault(ig, [])
+        it = it or "undef"
+        tr = None
+        for t in lst:
+            if t.transcript_id == it:
+                tr = t
+                break
+        if tr is None:
+            if it != "undef":
+                tr = self.refmodel.select_one(ig, it)
+            if tr is None:
+                tr = TranscriptRecord(
+                    gene_id=ig, transcript_id=it, chrom=lrr.chrom,
+                    strand="+", tx_start=0, tx_end=0, cds_start=0,
+                    cds_end=0, exons=[],
+                    junctions=np.zeros((0, 2), np.int64))
+                tr.is_known = it != "undef"
+                tr.is_novel = not tr.is_known
+            lst.append(tr)
+        tr.evidence.append(lrr)
 
     # -- collapser (:211-230, 639-671) -----------------------------------
 

@@ -407,3 +407,155 @@ def sort_bam(in_path: str | Path, out_path: str | Path,
     for p in chunks:
         p.unlink()
     Path(tmpdir).rmdir()
+
+
+# ---------------------------------------------------------------------------
+# BAI index (samtools-index role): writer + region query
+# ---------------------------------------------------------------------------
+#
+# The reference depends on htsjdk indexed queries for per-position pileups
+# (SNPMatrix.java:138-141 queryOverlapping) and the CollapseModel isobam
+# loader's per-chromosome pass (UCSCRefFlatParser.java:138-208). Format:
+# SAMv1 §5.2 — R-tree binning (reg2bin) chunks + a 16 kb linear index.
+
+BAI_MAGIC = b"BAI\x01"
+_LINEAR_SHIFT = 14  # 16 kb windows
+
+
+def _reg2bins(beg: int, end: int) -> list[int]:
+    """All bins overlapping [beg, end) (SAMv1 §5.3)."""
+    end -= 1
+    bins = [0]
+    for shift, off in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+        bins.extend(range(off + (beg >> shift), off + (end >> shift) + 1))
+    return bins
+
+
+def build_bai(bam_path: str | Path, bai_path: str | Path | None = None):
+    """Index a coordinate-sorted BAM; writes `<bam>.bai`."""
+    bai_path = Path(bai_path) if bai_path else Path(str(bam_path) + ".bai")
+    rd = BamReader(bam_path)
+    n_ref = len(rd.header.refs)
+    bins: list[dict[int, list[list[int]]]] = [dict() for _ in range(n_ref)]
+    linear: list[dict[int, int]] = [dict() for _ in range(n_ref)]
+    prev_key = (-2, -1)
+    while True:
+        vbeg = rd.tell_virtual()
+        rec = rd.read_record()
+        if rec is None:
+            break
+        vend = rd.tell_virtual()
+        if rec.ref_id < 0 or rec.is_unmapped:
+            continue
+        key = (rec.ref_id, rec.pos)
+        if key < prev_key:
+            raise ValueError("BAM is not coordinate-sorted; sort_bam first")
+        prev_key = key
+        end = rec.reference_end() if rec.cigar else rec.pos + 1
+        b = _reg2bin(rec.pos, max(end, rec.pos + 1))
+        chunks = bins[rec.ref_id].setdefault(b, [])
+        if chunks and chunks[-1][1] == vbeg:
+            chunks[-1][1] = vend  # merge adjacent chunks
+        else:
+            chunks.append([vbeg, vend])
+        lin = linear[rec.ref_id]
+        for w in range(rec.pos >> _LINEAR_SHIFT,
+                       ((max(end, rec.pos + 1) - 1) >> _LINEAR_SHIFT) + 1):
+            if w not in lin or vbeg < lin[w]:
+                lin[w] = vbeg
+    rd.close()
+    with open(bai_path, "wb") as fh:
+        fh.write(BAI_MAGIC + struct.pack("<i", n_ref))
+        for r in range(n_ref):
+            fh.write(struct.pack("<i", len(bins[r])))
+            for b in sorted(bins[r]):
+                chunks = bins[r][b]
+                fh.write(struct.pack("<Ii", b, len(chunks)))
+                for beg, cend in chunks:
+                    fh.write(struct.pack("<QQ", beg, cend))
+            lin = linear[r]
+            n_intv = (max(lin) + 1) if lin else 0
+            fh.write(struct.pack("<i", n_intv))
+            filled = 0
+            for w in range(n_intv):
+                filled = lin.get(w, filled)
+                fh.write(struct.pack("<Q", filled))
+    return bai_path
+
+
+def load_bai(bai_path: str | Path):
+    """-> per-ref (bins {bin: [(vbeg, vend)]}, linear [uint64])."""
+    with open(bai_path, "rb") as fh:
+        data = fh.read()
+    if data[:4] != BAI_MAGIC:
+        raise ValueError(f"{bai_path}: not a BAI index")
+    off = 4
+    (n_ref,) = struct.unpack_from("<i", data, off)
+    off += 4
+    refs = []
+    for _ in range(n_ref):
+        (n_bin,) = struct.unpack_from("<i", data, off)
+        off += 4
+        b = {}
+        for _ in range(n_bin):
+            bin_, n_chunk = struct.unpack_from("<Ii", data, off)
+            off += 8
+            cl = []
+            for _ in range(n_chunk):
+                beg, cend = struct.unpack_from("<QQ", data, off)
+                off += 16
+                cl.append((beg, cend))
+            b[bin_] = cl
+        (n_intv,) = struct.unpack_from("<i", data, off)
+        off += 4
+        lin = list(struct.unpack_from(f"<{n_intv}Q", data, off))
+        off += 8 * n_intv
+        refs.append((b, lin))
+    return refs
+
+
+class IndexedBamReader(BamReader):
+    """BamReader + region queries through a .bai index."""
+
+    def __init__(self, path: str | Path, bai_path: str | Path | None = None):
+        super().__init__(path)
+        bai = Path(bai_path) if bai_path else Path(str(path) + ".bai")
+        if not bai.exists():
+            build_bai(path, bai)
+        self._index = load_bai(bai)
+
+    def fetch(self, chrom: str, start: int, end: int):
+        """Yield records overlapping [start, end) (0-based half-open),
+        in file order — htsjdk queryOverlapping role."""
+        rid = self.header.ref_id(chrom)
+        if rid < 0 or rid >= len(self._index):
+            return
+        bins, linear = self._index[rid]
+        w = start >> _LINEAR_SHIFT
+        min_off = linear[w] if w < len(linear) else (linear[-1] if linear
+                                                     else 0)
+        chunks = []
+        for b in _reg2bins(start, max(end, start + 1)):
+            for beg, cend in bins.get(b, ()):
+                if cend > min_off:
+                    chunks.append((max(beg, min_off), cend))
+        if not chunks:
+            return
+        chunks.sort()
+        merged = [list(chunks[0])]
+        for beg, cend in chunks[1:]:
+            if beg <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], cend)
+            else:
+                merged.append([beg, cend])
+        for beg, cend in merged:
+            self.seek_virtual(beg)
+            while self.tell_virtual() < cend:
+                rec = self.read_record()
+                if rec is None:
+                    return
+                if rec.ref_id != rid or rec.pos >= end:
+                    break
+                rend = rec.reference_end() if rec.cigar else rec.pos + 1
+                if rend > start:
+                    yield rec

@@ -294,17 +294,30 @@ def _pack_meta(out: dict) -> jax.Array:
     return jnp.stack(rows, axis=0)
 
 
-def make_pass1_fn(cfg: PipelineConfig, peq_ad, peq_adc, peq_tso):
-    """Pass-1 fused variant: ONE upload / ONE download (pattern bitmasks
-    close over as compile-time constants).
-
-    fn(packed [B, EDGE+4] uint8 — see make_scan_search_fn) -> int16 matrix
-    [len(EDGE_META_KEYS) + 3, B]: meta rows then (kmer_lo, kmer_hi,
-    kmer_valid) where kmer = 2-bit packed exact barcode window
-    (uint32 = lo | hi << 16), valid iff all bases A/C/G/T."""
-    body = make_edge_scan_fn(cfg)
+def _pass1_rows(cfg: PipelineConfig, out: dict) -> jax.Array:
+    """Meta rows + (kmer_lo, kmer_hi, kmer_valid) where kmer = 2-bit packed
+    exact barcode window (uint32 = lo | hi << 16), valid iff all A/C/G/T."""
     bc_len = cfg.barcodes.cell_bc_length
     pad = cfg.readscanner.test_plus_minus_pos
+    meta = _pack_meta(out)
+    codes = out["bc_windows"][:, pad:pad + bc_len].astype(jnp.uint32)
+    valid = jnp.all(codes < 4, axis=1)
+    kmer = jnp.zeros(codes.shape[0], jnp.uint32)
+    for i in range(bc_len):
+        kmer = (kmer << jnp.uint32(2)) | jnp.minimum(codes[:, i], 3)
+    rows = jnp.stack([
+        (kmer & 0xFFFF).astype(jnp.int32),
+        (kmer >> 16).astype(jnp.int32),
+        valid.astype(jnp.int32)], axis=0).astype(jnp.int16)
+    return jnp.concatenate([meta, rows], axis=0)
+
+
+def make_pass1_fn(cfg: PipelineConfig, peq_ad, peq_adc, peq_tso):
+    """Pass-1 4-bit variant (exact fallback for reads containing N).
+
+    fn(packed [B, EDGE+4] uint8 nibble composite) -> int16 matrix
+    [len(EDGE_META_KEYS) + 3, B]."""
+    body = make_edge_scan_fn(cfg)
     peq_ad, peq_adc, peq_tso = (np.asarray(peq_ad), np.asarray(peq_adc),
                                 np.asarray(peq_tso))
 
@@ -315,19 +328,31 @@ def make_pass1_fn(cfg: PipelineConfig, peq_ad, peq_adc, peq_tso):
         lens = lb[:, 0] | (lb[:, 1] << 8) | (lb[:, 2] << 16) | (lb[:, 3] << 24)
         out = body(seq, lens, jnp.asarray(peq_ad), jnp.asarray(peq_adc),
                    jnp.asarray(peq_tso))
-        meta = _pack_meta(out)
-        codes = out["bc_windows"][:, pad:pad + bc_len].astype(jnp.uint32)
-        valid = jnp.all(codes < 4, axis=1)
-        kmer = jnp.zeros(codes.shape[0], jnp.uint32)
-        for i in range(bc_len):
-            kmer = (kmer << jnp.uint32(2)) | jnp.minimum(codes[:, i], 3)
-        rows = jnp.stack([
-            (kmer & 0xFFFF).astype(jnp.int32),
-            (kmer >> 16).astype(jnp.int32),
-            valid.astype(jnp.int32)], axis=0).astype(jnp.int16)
-        return jnp.concatenate([meta, rows], axis=0)
+        return _pass1_rows(cfg, out)
 
     return fn
+
+
+def make_pass1_map_fn(cfg: PipelineConfig, peq_ad, peq_adc, peq_tso):
+    """Pass-1 lax.map mega dispatcher over [C, SLICE, EDGE/2+4] 2-bit slice
+    stacks — one RPC pair per mega batch (see make_scan_search_map_fn)."""
+    body = make_edge_scan_fn(cfg)
+    peq_ad, peq_adc, peq_tso = (np.asarray(peq_ad), np.asarray(peq_adc),
+                                np.asarray(peq_tso))
+
+    def inner(packed):
+        seq = unpack_2bit(packed[:, :-4])
+        lb = packed[:, -4:].astype(jnp.int32)
+        lens = lb[:, 0] | (lb[:, 1] << 8) | (lb[:, 2] << 16) | (lb[:, 3] << 24)
+        out = body(seq, lens, jnp.asarray(peq_ad), jnp.asarray(peq_adc),
+                   jnp.asarray(peq_tso))
+        return _pass1_rows(cfg, out)
+
+    @jax.jit
+    def mega(packed3):
+        return jax.lax.map(inner, packed3)
+
+    return mega
 
 
 def make_edge_scan_packed_fn(cfg: PipelineConfig):
@@ -499,35 +524,83 @@ def remap_composite(pos: np.ndarray, true_lens: np.ndarray,
     return np.where(pos < 0, pos, out)
 
 
-def make_scan_search_fn(cfg: PipelineConfig, use_pallas: bool,
-                        bt: int = 256, nt: int = 512):
-    """Fused edge scan + whitelist ED sweep in ONE jit, ONE upload and ONE
-    download per batch (every extra RPC over the remote-TPU tunnel costs a
-    ~40-80ms round trip).
+def pack_2bit_np(codes: np.ndarray) -> np.ndarray:
+    """[B, 4E] int8 codes -> [B, E] uint8, four 2-bit bases per byte.
 
-    Returns fn(packed [B, EDGE+4] uint8 — nibble-packed composite plus the
-    composite length in the last 4 little-endian bytes — peq_ad, peq_adc,
-    peq_tso, peq_bc [4, N] uint32, nvalid [1] int32) -> combined int16
-    matrix [len(EDGE_META_KEYS) + 5, B]: meta rows then
-    (best_ed, idx_lo, idx_hi, second_ed, end_pos); idx = lo | hi << 16.
-    B % bt == 0 and N % nt == 0 required when use_pallas.
+    Non-ACGT codes are clamped to T; callers must route reads containing N
+    through the 4-bit path (encode_composite_2bit returns the dirty mask).
+    Positions beyond the composite length may hold garbage — every device
+    consumer masks by `lens`."""
+    c = np.minimum(codes, 3).astype(np.uint8)
+    return ((c[:, 0::4] << 6) | (c[:, 1::4] << 4)
+            | (c[:, 2::4] << 2) | c[:, 3::4])
+
+
+def unpack_2bit(packed: jax.Array) -> jax.Array:
+    """Device-side inverse of pack_2bit_np: [B, E] uint8 -> [B, 4E] int8."""
+    B, E = packed.shape
+    parts = [((packed >> s) & jnp.uint8(3)).astype(jnp.int8)
+             for s in (6, 4, 2, 0)]
+    return jnp.stack(parts, axis=-1).reshape(B, 4 * E)
+
+
+def encode_composite_2bit(seqs: list[bytes], quals: list[bytes],
+                          edge: int = EDGE):
+    """2-bit composite encoding — halves the nibble path's host->device
+    bytes again (the tunnel-transfer term of the pass-2 budget).
+
+    Returns (packed [B, edge/2] uint8, qv, comp_lens, true_lens,
+    dirty [B] bool). `dirty` marks reads with a non-ACGT base inside the
+    composite; those must run through the 4-bit fallback (2 bits cannot
+    represent N, and N must never match — reference NW scoring treats it
+    as mismatch)."""
+    codes, qv, comp_lens, true_lens = encode_composite(seqs, quals, edge)
+    B, W = codes.shape
+    cols = np.arange(W, dtype=np.int32)[None, :]
+    dirty = ((codes == dna.N_CODE) & (cols < comp_lens[:, None])).any(axis=1)
+    return pack_2bit_np(codes), qv, comp_lens, true_lens, dirty
+
+
+SEARCH_ROWS = 6  # best_ed, idx_lo, idx_hi, second_ed, end_pos, overflow
+
+
+def make_scan_search_body(cfg: PipelineConfig, mode: str, radius: int = 2,
+                          K: int = 64, bt: int = 256, nt: int = 512):
+    """Fused edge scan + whitelist search body (un-jitted; composed into
+    the lax.map mega dispatcher so a whole multi-slice batch is ONE upload
+    and ONE download — each RPC over the remote-TPU tunnel costs ~50ms).
+
+    mode: "prefilter" — MXU q-gram candidate matmul + top-K Myers verify,
+          exact within `radius` (ops/bcsearch.qgram_prefilter_search);
+          "pallas"    — brute Myers sweep Pallas kernel (small used lists);
+          "jnp"       — brute jnp sweep (CPU tests).
+
+    fn(packed [B, EDGE/2+4] uint8 — 2-bit composite plus little-endian
+    length bytes — peq_ad, peq_adc, peq_tso, peq_bc [4, N] uint32,
+    nvalid [1] int32, qgram_t [256, N] f32) -> int16 matrix
+    [len(EDGE_META_KEYS) + SEARCH_ROWS, B]: meta rows then (best_ed,
+    idx_lo, idx_hi, second_ed, end_pos, overflow); idx = lo | hi << 16.
     """
     from sicelore_tpu.ops import bcsearch  # local import: avoids cycle
 
     body = make_edge_scan_fn(cfg)
     m = cfg.barcodes.cell_bc_length
 
-    @jax.jit
-    def fn(packed, peq_ad, peq_adc, peq_tso, peq_bc, nvalid):
-        seq = unpack_nibbles(packed[:, :-4])
+    def fn(packed, peq_ad, peq_adc, peq_tso, peq_bc, nvalid, qgram_t):
+        seq = unpack_2bit(packed[:, :-4])
         lb = packed[:, -4:].astype(jnp.int32)
         lens = lb[:, 0] | (lb[:, 1] << 8) | (lb[:, 2] << 16) | (lb[:, 3] << 24)
         out = body(seq, lens, peq_ad, peq_adc, peq_tso)
         meta = _pack_meta(out)
         wins = out["bc_windows"]
-        if use_pallas:
+        if mode == "prefilter":
+            res = bcsearch.qgram_prefilter_search(
+                wins, qgram_t, peq_bc, nvalid, m, radius, K)
+            best, overflow = res[:4], res[4]
+        elif mode == "pallas":
             best = bcsearch.bc_sweep_pallas(wins.astype(jnp.int32), peq_bc,
                                             nvalid, m, bt=bt, nt=nt)
+            overflow = jnp.zeros_like(best[0])
         else:
             N = peq_bc.shape[1]
             ed, pos = editdist.myers_sweep(wins, peq_bc, m)
@@ -536,16 +609,37 @@ def make_scan_search_fn(cfg: PipelineConfig, use_pallas: bool,
             b1, i1, b2, _ = editdist.best_two(ed)
             p1 = jnp.take_along_axis(pos, i1[:, None], axis=1)[:, 0]
             best = jnp.stack([b1, i1, b2, p1], axis=0)
+            overflow = jnp.zeros_like(b1)
         brows = jnp.stack([
             jnp.clip(best[0], -I16_BIG, I16_BIG),
             best[1] & 0xFFFF,
             best[1] >> 16,
             jnp.clip(best[2], -I16_BIG, I16_BIG),
-            jnp.clip(best[3], -I16_BIG, I16_BIG)], axis=0)
+            jnp.clip(best[3], -I16_BIG, I16_BIG),
+            overflow], axis=0)
         # int16 cast: idx_lo is uint16-valued; view back on host
         return jnp.concatenate([meta, brows.astype(jnp.int16)], axis=0)
 
     return fn
+
+
+def make_scan_search_map_fn(cfg: PipelineConfig, mode: str, radius: int = 2,
+                            K: int = 64):
+    """lax.map mega dispatcher over [C, SLICE, E+4] slice stacks.
+
+    The map element stays at SLICE rows (the remote compile service's time
+    grows ~quadratically with row count) while C slices ride ONE
+    upload/download pair; XLA compiles the body once per (C) shape and
+    loops it on-device back-to-back."""
+    inner = make_scan_search_body(cfg, mode, radius, K)
+
+    @jax.jit
+    def mega(packed3, peq_ad, peq_adc, peq_tso, peq_bc, nvalid, qgram_t):
+        return jax.lax.map(
+            lambda p: inner(p, peq_ad, peq_adc, peq_tso, peq_bc, nvalid,
+                            qgram_t), packed3)
+
+    return mega
 
 
 class ReadScanModel:
@@ -612,40 +706,50 @@ class ReadScanModel:
 
     # -- fused scan + barcode search (pass-2 hot path) -------------------
 
-    def prepare_search(self, used_peq: np.ndarray, n_valid: int,
-                       use_pallas: bool | None = None):
-        """Bind a used-barcode list for fused scan+search calls."""
+    PREFILTER_MIN_BC = 2048  # below this the brute sweep is cheaper
+
+    def prepare_search(self, patterns: np.ndarray, n_valid: int,
+                       radius: int = 2, mode: str | None = None,
+                       K: int = 64):
+        """Bind a used-barcode list ([N, m] int8 code matrix) for fused
+        scan+search calls.
+
+        `radius` is the dynamic-ED search radius (the bcMaxEditDistances
+        cap): prefilter-mode results are exact within it and report
+        not-found beyond it — the jar's enumeration-bailout semantics
+        (SURVEY §2.a BarcodeMatchTester). mode defaults to the MXU q-gram
+        prefilter for large used lists (radius <= 2), the Pallas brute
+        sweep otherwise on TPU, jnp brute elsewhere."""
         import jax as _jax
-        if use_pallas is None:
-            use_pallas = _jax.devices()[0].platform == "tpu"
+
+        from sicelore_tpu.ops import bcsearch
+        on_tpu = _jax.devices()[0].platform == "tpu"
+        if mode is None:
+            if n_valid > self.PREFILTER_MIN_BC and radius <= 2:
+                mode = "prefilter"
+            else:
+                mode = "pallas" if on_tpu else "jnp"
         nt = 512
+        used_peq = editdist.build_peq(patterns) if len(patterns) else \
+            np.zeros((4, 1), np.uint32)
         N = ((max(n_valid, 1) + nt - 1) // nt) * nt
         peq = np.zeros((4, N), dtype=np.uint32)
         peq[:, :used_peq.shape[1]] = used_peq
         self._peq_bc = jnp.asarray(peq)
+        self._peq_raw = used_peq
+        qt = np.zeros((256, N), np.float32)
+        if mode == "prefilter" and len(patterns):
+            qt[:, :patterns.shape[0]] = bcsearch.build_qgram_table(patterns)
+        self._qgram_t = jnp.asarray(qt)
         self._nvalid = jnp.asarray([n_valid], dtype=jnp.int32)
-        self._search_fn = make_scan_search_fn(self.cfg, use_pallas)
+        self._n_valid = n_valid
+        self._radius = radius
+        self._mode = mode
+        self._mega_fn = make_scan_search_map_fn(self.cfg, mode, radius, K)
 
     # -- fused pass-1 scan (meta + exact BC kmer, 1 RPC each way) --------
 
-    def scan_pass1(self, seqs: list[bytes], quals: list[bytes]):
-        """Composite edge scan + exact-BC kmer extraction; returns the
-        edge dict (coords remapped) plus 'bc_kmer' uint32 and
-        'bc_kmer_valid' bool arrays."""
-        if not hasattr(self, "_pass1_fn"):
-            self._pass1_fn = make_pass1_fn(self.cfg, self.peq_ad,
-                                           self.peq_adc, self.peq_tso)
-        codes, qv, comp_lens, true_lens = encode_composite(seqs, quals)
-        parts = []
-        for s in range(0, max(len(seqs), 1), self.SLICE):
-            packed, lens_p, B = self._pack_batch(
-                codes[s:s + self.SLICE], comp_lens[s:s + self.SLICE])
-            full = np.concatenate(
-                [packed, lens_p.astype("<u4").view(np.uint8).reshape(-1, 4)],
-                axis=1)
-            parts.append((self._pass1_fn(jnp.asarray(full)), B))
-        arr = np.concatenate(
-            [np.asarray(a)[:, :B] for a, B in parts], axis=1)
+    def _unpack_pass1(self, arr, qv, comp_lens, true_lens):
         K = len(EDGE_META_KEYS)
         out = unpack_edge_meta(arr[:K])
         compute_qvs_np(qv, comp_lens, out, self.cfg.barcodes.cell_bc_length,
@@ -659,6 +763,56 @@ class ReadScanModel:
         out["bc_kmer_valid"] = arr[K + 2] != 0
         return out
 
+    def scan_pass1(self, seqs: list[bytes], quals: list[bytes]):
+        """Composite edge scan + exact-BC kmer extraction; returns the
+        edge dict (coords remapped) plus 'bc_kmer' uint32 and
+        'bc_kmer_valid' bool arrays. 2-bit lax.map mega batches; reads with
+        N bases re-run through the exact 4-bit fallback."""
+        if not hasattr(self, "_pass1_mega"):
+            self._pass1_mega = make_pass1_map_fn(self.cfg, self.peq_ad,
+                                                 self.peq_adc, self.peq_tso)
+        packed, qv, comp_lens, true_lens, dirty = encode_composite_2bit(
+            seqs, quals)
+        B = len(seqs)
+        lens_up = np.where(dirty, 0, comp_lens).astype("<u4")
+        full = np.concatenate(
+            [packed, lens_up.view(np.uint8).reshape(-1, 4)], axis=1)
+        S = self.SLICE
+        C = max((B + S - 1) // S, 1)
+        if C * S != full.shape[0]:
+            pad = np.zeros((C * S - full.shape[0], full.shape[1]), np.uint8)
+            full = np.concatenate([full, pad], axis=0)
+        arr3 = full.reshape(C, S, -1)
+        parts, c0 = [], 0
+        while c0 < C:
+            take = 1
+            while take * 2 <= min(self.MAX_C, C - c0):
+                take *= 2
+            parts.append(self._pass1_mega(jnp.asarray(arr3[c0:c0 + take])))
+            c0 += take
+        R = len(EDGE_META_KEYS) + 3
+        arr = np.concatenate(
+            [np.asarray(h).transpose(1, 0, 2).reshape(R, -1) for h in parts],
+            axis=1)[:, :B]
+        out = self._unpack_pass1(arr, qv, comp_lens, true_lens)
+        if dirty.any():
+            if not hasattr(self, "_pass1_fn"):
+                self._pass1_fn = make_pass1_fn(self.cfg, self.peq_ad,
+                                               self.peq_adc, self.peq_tso)
+            idxs = np.nonzero(dirty)[0]
+            codes, qv_d, cl_d, tl_d = encode_composite(
+                [seqs[i] for i in idxs], [quals[i] for i in idxs])
+            packed4, lens_p, Bd = self._pack_batch(codes, cl_d)
+            full4 = np.concatenate(
+                [packed4, lens_p.astype("<u4").view(np.uint8).reshape(-1, 4)],
+                axis=1)
+            sub_arr = np.asarray(self._pass1_fn(jnp.asarray(full4)))[:, :Bd]
+            sub = self._unpack_pass1(sub_arr, qv_d, cl_d, tl_d)
+            for k, v in sub.items():
+                if k in out and out[k].ndim == 1:
+                    out[k][idxs] = v
+        return out
+
     # device dispatch slice: chunks are cut into fixed SLICE-read batches
     # so the whole pipeline only ever compiles a handful of shapes
     # (SLICE plus power-of-two tail buckets). The remote TPU compile
@@ -668,29 +822,67 @@ class ReadScanModel:
     # pipeline on-device back-to-back, so throughput is unaffected.
     SLICE = 2048
 
+    MAX_C = 16  # max slices per mega dispatch (one RPC pair each way)
+
     def scan_search_async(self, seqs: list[bytes], quals: list[bytes]):
-        """Dispatch composite edge scan + BC sweep; returns device handles
+        """Dispatch composite edge scan + BC search; returns device handles
         WITHOUT blocking — force with `finish_search` while the device
-        works on the next batch. One upload, one download per SLICE."""
-        codes, qv, comp_lens, true_lens = encode_composite(seqs, quals)
+        works on the next batch.
+
+        2-bit composites ride lax.map mega batches: the whole chunk is a
+        handful of RPC pairs (greedy power-of-two decomposition of the
+        slice count bounds compiled shapes to {1,2,4,8,16} slices). Reads
+        with N bases (unrepresentable in 2 bits) upload with length 0 and
+        are re-run through the exact 4-bit path in finish_search."""
+        packed, qv, comp_lens, true_lens, dirty = encode_composite_2bit(
+            seqs, quals)
+        B = len(seqs)
+        lens_up = np.where(dirty, 0, comp_lens).astype("<u4")
+        full = np.concatenate(
+            [packed, lens_up.view(np.uint8).reshape(-1, 4)], axis=1)
+        S = self.SLICE
+        C = max((B + S - 1) // S, 1)
+        if C * S != full.shape[0]:
+            pad = np.zeros((C * S - full.shape[0], full.shape[1]), np.uint8)
+            full = np.concatenate([full, pad], axis=0)
+        arr3 = full.reshape(C, S, -1)
         parts = []
-        for s in range(0, max(len(seqs), 1), self.SLICE):
-            packed, lens_p, B = self._pack_batch(
-                codes[s:s + self.SLICE], comp_lens[s:s + self.SLICE])
-            full = np.concatenate(
-                [packed, lens_p.astype("<u4").view(np.uint8).reshape(-1, 4)],
-                axis=1)
-            combined = self._search_fn(
-                jnp.asarray(full), self.peq_ad, self.peq_adc, self.peq_tso,
-                self._peq_bc, self._nvalid)
-            parts.append((combined, B))
-        return parts, qv, comp_lens, true_lens
+        c0 = 0
+        while c0 < C:
+            take = 1
+            while take * 2 <= min(self.MAX_C, C - c0):
+                take *= 2
+            h = self._mega_fn(jnp.asarray(arr3[c0:c0 + take]), self.peq_ad,
+                              self.peq_adc, self.peq_tso, self._peq_bc,
+                              self._nvalid, self._qgram_t)
+            parts.append(h)
+            c0 += take
+        return parts, qv, comp_lens, true_lens, dirty, seqs, quals, B
+
+    def _scan_search_sync(self, seqs: list[bytes], quals: list[bytes]):
+        """Exact 4-bit fallback (handles N bases; serves dirty/overflow
+        reads). Brute-sweeps the whole used list; in prefilter mode the
+        results are radius-masked to match the fused path's semantics."""
+        from sicelore_tpu.ops import bcsearch
+        out = self.scan_reads(seqs, quals)
+        bc = bcsearch.bc_search(out["bc_windows"].astype(np.int32),
+                                self._peq_raw, self._n_valid,
+                                self.cfg.barcodes.cell_bc_length)
+        if self._mode == "prefilter":
+            r = self._radius
+            bc["ed2"] = np.where(bc["ed2"] > r, editdist.INT_MAX, bc["ed2"])
+            over = bc["ed"] > r
+            bc["ed"] = np.where(over, bcsearch_BIG_MIN, bc["ed"])
+            bc["idx"] = np.where(over, bcsearch_BIG_MIN, bc["idx"])
+        return out, bc
 
     def finish_search(self, handles):
         """Force a scan_search_async result -> (edge dict, best dict)."""
-        parts, qv, comp_lens, true_lens = handles
+        parts, qv, comp_lens, true_lens, dirty, seqs, quals, B = handles
+        R = len(EDGE_META_KEYS) + SEARCH_ROWS
         arr = np.concatenate(
-            [np.asarray(c)[:, :B] for c, B in parts], axis=1)
+            [np.asarray(h).transpose(1, 0, 2).reshape(R, -1) for h in parts],
+            axis=1)[:, :B]
         K = len(EDGE_META_KEYS)
         out = unpack_edge_meta(arr[:K])
         # QVs from the composite qual matrix, in composite coords
@@ -704,6 +896,16 @@ class ReadScanModel:
         ed = np.where(b[0] >= I16_BIG, bcsearch_BIG_MIN, b[0])
         ed2 = np.where(b[3] >= I16_BIG, editdist.INT_MAX, b[3])
         bc = {"ed": ed, "idx": idx, "ed2": ed2, "end_pos": b[4]}
+        redo = dirty | (arr[K + 5] != 0)
+        if redo.any():
+            idxs = np.nonzero(redo)[0]
+            sub_out, sub_bc = self._scan_search_sync(
+                [seqs[i] for i in idxs], [quals[i] for i in idxs])
+            for k, v in sub_out.items():
+                if k in out and out[k].ndim == 1:
+                    out[k][idxs] = v
+            for k in bc:
+                bc[k][idxs] = sub_bc[k]
         return out, bc
 
     def scan_internal(self, seqs, lens):

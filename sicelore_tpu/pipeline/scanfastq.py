@@ -188,6 +188,7 @@ class ScanFastqPipeline:
         # rank 1 = most reads
         self.ranks = np.arange(1, len(self.used_packed) + 1)
         pats, _ = dna.encode_batch([s.encode() for s in self.used_strs], 16)
+        self.used_pats = pats
         self.used_peq = editdist.build_peq(pats) if len(pats) else None
         # keep full pass-1 table for BarcodeList.tsv
         self._pass1_packed, self._pass1_counts, self._pass1_keep = packed, counts, keep
@@ -200,6 +201,7 @@ class ScanFastqPipeline:
         self.used_strs = [dna.unpack_kmer(int(w), 16) for w in self.used_packed]
         self.ranks = np.arange(1, len(self.used_packed) + 1)
         pats, _ = dna.encode_batch([s.encode() for s in self.used_strs], 16)
+        self.used_pats = pats
         self.used_peq = editdist.build_peq(pats) if len(pats) else None
 
     def write_barcode_list(self, path: str | Path):
@@ -336,7 +338,11 @@ class ScanFastqPipeline:
         amb = stranded & (bc["ed"] <= max_ed) & ~ok
         self.stats.bc_ambiguous += int(amb.sum())
         assigned = ok
-        bc_idx, bc_ed, bc_ed2 = bc["idx"], bc["ed"], bc["ed2"]
+        bc_idx, bc_ed = bc["idx"], bc["ed"]
+        # ed_sec beyond the dynamic search radius reports INT_MAX — the
+        # reference's enumeration bails out at the radius and prints
+        # 2147483647 when no second hit was seen (README.md:396-459)
+        bc_ed2 = np.where(bc["ed2"] > max_ed, editdist.INT_MAX, bc["ed2"])
 
         # outputs
         for i in range(n):
@@ -417,7 +423,8 @@ class ScanFastqPipeline:
         ext = ".fastq.gz" if self.compress else ".fastq"
         use_fused = not self.random_barcode and self.used_peq is not None
         if use_fused:
-            self.model.prepare_search(self.used_peq, len(self.used_strs))
+            self.model.prepare_search(self.used_pats, len(self.used_strs),
+                                      radius=self.max_ed())
         for f in files:
             stem = f.name
             for suf in (".gz", ".fastq", ".fq"):

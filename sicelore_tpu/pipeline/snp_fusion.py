@@ -73,54 +73,64 @@ def snp_matrix(in_bam, snp_csv, cell_csv, outdir, prefix="snp",
         by_chrom[s["chrom"]].append(s)
     tags = tags or TagConfig()
     stats = {"hits": 0, "lowRN": 0, "lowQV": 0}
-    with BamReader(in_bam) as rd:
-        ref_names = [n for n, _ in rd.header.refs]
-        for r in rd:
-            if r.is_unmapped or r.ref_id < 0:
-                continue
-            chrom = ref_names[r.ref_id]
-            cands = by_chrom.get(chrom)
-            if not cands:
-                continue
-            start, end = r.pos + 1, r.reference_end()
-            for s in cands:
-                ps = s["positions"]
-                if ps[0] < start or ps[-1] > end:
+
+    def process(r, s, chrom):
+        ps = s["positions"]
+        if ps[0] < r.pos + 1 or ps[-1] > r.reference_end():
+            return
+        # strand filter: read strand must equal SNP strand
+        # (SNPMatrix.java:126)
+        if (s["strand"] == "-") != r.is_reverse:
+            return
+        bc = r.get_tag(tags.cell)
+        umi = r.get_tag(tags.umi)
+        if bc is None:
+            return
+        rn = int(r.get_tag(tags.rn) or 1)
+        read_pos = [read_pos_at_ref(r.cigar, r.pos + 1, p) for p in ps]
+        if min(read_pos) <= 0 or len(r.seq) <= max(read_pos):
+            return
+        nucs, qvs = [], []
+        for rp in read_pos:
+            nucs.append(r.seq[rp - 1])
+            qvs.append(r.qual[rp - 1] if r.qual else 0)
+        if r.is_reverse:
+            nucs = [_COMP.get(n, "N") for n in nucs]
+        if rn < minrn:
+            stats["lowRN"] += 1
+            return
+        if min(qvs) < minqv:
+            stats["lowQV"] += 1
+            return
+        stats["hits"] += 1
+        mol = Molecule(bc.replace("-1", ""), umi or "", rn)
+        mol.gene_id = s["gene"]
+        mol.transcript_id = (f"{chrom}:" + "|".join(str(p) for p in ps)
+                             + ".." + "".join(nucs))
+        mol.snp_phred = ",".join(str(q) for q in qvs)
+        # one placeholder longread so n_reads()/metrics behave
+        matrix.add_molecule(mol)
+
+    # indexed per-SNP query when the BAM is coordinate-sorted (the
+    # reference path: SNPMatrix.java:138-141 queryOverlapping per SNP);
+    # full-stream fallback otherwise
+    try:
+        from sicelore_tpu.io.bam import IndexedBamReader
+        with IndexedBamReader(in_bam) as rd:
+            for s in snps:
+                for r in rd.fetch(s["chrom"], s["positions"][0] - 1,
+                                  s["positions"][-1]):
+                    if not r.is_unmapped:
+                        process(r, s, s["chrom"])
+    except (ValueError, OSError):  # unsorted BAM / unwritable .bai: stream
+        with BamReader(in_bam) as rd:
+            ref_names = [n for n, _ in rd.header.refs]
+            for r in rd:
+                if r.is_unmapped or r.ref_id < 0:
                     continue
-                # strand filter: read strand must equal SNP strand
-                # (SNPMatrix.java:126)
-                if (s["strand"] == "-") != r.is_reverse:
-                    continue
-                bc = r.get_tag(tags.cell)
-                umi = r.get_tag(tags.umi)
-                if bc is None:
-                    continue
-                rn = int(r.get_tag(tags.rn) or 1)
-                read_pos = [read_pos_at_ref(r.cigar, r.pos + 1, p)
-                            for p in ps]
-                if min(read_pos) <= 0 or len(r.seq) <= max(read_pos):
-                    continue
-                nucs, qvs = [], []
-                for rp in read_pos:
-                    nucs.append(r.seq[rp - 1])
-                    qvs.append(r.qual[rp - 1] if r.qual else 0)
-                if r.is_reverse:
-                    nucs = [_COMP.get(n, "N") for n in nucs]
-                if rn < minrn:
-                    stats["lowRN"] += 1
-                    continue
-                if min(qvs) < minqv:
-                    stats["lowQV"] += 1
-                    continue
-                stats["hits"] += 1
-                mol = Molecule(bc.replace("-1", ""), umi or "", rn)
-                mol.gene_id = s["gene"]
-                mol.transcript_id = (f"{chrom}:"
-                                     + "|".join(str(p) for p in ps)
-                                     + ".." + "".join(nucs))
-                mol.snp_phred = ",".join(str(q) for q in qvs)
-                # one placeholder longread so n_reads()/metrics behave
-                matrix.add_molecule(mol)
+                chrom = ref_names[r.ref_id]
+                for s in by_chrom.get(chrom, ()):
+                    process(r, s, chrom)
     if matrix.matrice:
         p = outdir / prefix
         matrix.write_isoform_matrix(f"{p}_snpmatrix.txt",

@@ -52,29 +52,35 @@ def warm(n_bc: int = 8192, full: bool = False, log=None) -> dict:
     cfg = PipelineConfig()
     model = readscan.ReadScanModel(cfg)
     rng = np.random.default_rng(0)
-    wl = ["".join(rng.choice(list("ACGT"), 16)) for _ in range(min(n_bc, 64))]
+    wl = sorted({"".join(rng.choice(list("ACGT"), 16)) for _ in range(n_bc)})
     pats, _ = dna.encode_batch([w.encode() for w in wl], 16)
-    peq = np.zeros((4, n_bc), dtype=np.uint32)
-    peq[:, :len(wl)] = editdist.build_peq(pats)
-    model.prepare_search(peq, n_bc)
+    model.prepare_search(pats, len(wl), radius=2)
 
     S = readscan.ReadScanModel.SLICE
-    buckets = [S, 256]
+    # mega dispatch shapes are [C, SLICE, .]; tail batches pad into C=1
+    cs = [1, model.MAX_C]
     if full:
-        b = 512
-        while b < S:
-            buckets.append(b)
-            b *= 2
+        c = 2
+        while c < model.MAX_C:
+            cs.append(c)
+            c *= 2
 
     jobs = []
-    for B in buckets:
-        bases = np.frombuffer(b"ACGT", np.uint8)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    for C in sorted(cs):
+        B = C * S
         seqs = [bytes(rng.choice(bases, 600)) for _ in range(B)]
         quals = [b"I" * 600 for _ in range(B)]
-        jobs.append((f"scan_search_B{B}", lambda s=seqs, q=quals:
+        jobs.append((f"scan_search_C{C}", lambda s=seqs, q=quals:
                      model.finish_search(model.scan_search_async(s, q))))
-        jobs.append((f"pass1_B{B}", lambda s=seqs, q=quals:
+        jobs.append((f"pass1_C{C}", lambda s=seqs, q=quals:
                      model.scan_pass1(s, q)))
+    # 4-bit fallback path (N-containing reads): one tiny batch
+    dirty_seqs = [b"ACGTN" * 120 for _ in range(8)]
+    dirty_quals = [b"I" * 600 for _ in range(8)]
+    jobs.append(("fallback_4bit", lambda:
+                 model.finish_search(
+                     model.scan_search_async(dirty_seqs, dirty_quals))))
     if full:
         # internal scan: length buckets (chimera path, long reads only)
         for L in (1024, 2048, 4096):

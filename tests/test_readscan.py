@@ -185,5 +185,7 @@ def test_precompile_warm_smoke(monkeypatch):
     from sicelore_tpu.models import readscan
     from sicelore_tpu.utils import precompile
     monkeypatch.setattr(readscan.ReadScanModel, "SLICE", 256)
+    monkeypatch.setattr(readscan.ReadScanModel, "MAX_C", 2)
     times = precompile.warm(n_bc=64, full=False, log=lambda *a: None)
-    assert set(times) == {"scan_search_B256", "pass1_B256"}
+    assert set(times) == {"scan_search_C1", "scan_search_C2",
+                          "pass1_C1", "pass1_C2", "fallback_4bit"}
