@@ -127,28 +127,59 @@ def _pairwise_ed_device(umis: list[bytes]) -> np.ndarray:
 
 
 def complete_link_clusters(d: np.ndarray, max_ed: int) -> list[list[int]]:
-    """Agglomerative complete-link; merge while the closest pair of clusters
-    has complete-link distance <= max_ed."""
+    """Agglomerative complete-link cut at max_ed — NN-chain algorithm.
+
+    O(K^2) instead of the naive global-min loop's O(K^3): complete linkage
+    is reducible, so following nearest-neighbor chains to a reciprocal
+    pair yields the same dendrogram (up to tie order); heights are
+    monotone, so cutting = applying every merge with height <= max_ed.
+    Every pair inside a returned cluster is within max_ed (complete-link
+    diameter bound), matching the jar's Aliasi dendrogram cut
+    (config.xml:244-278)."""
     K = d.shape[0]
-    clusters = [[i] for i in range(K)]
-    cd = d.astype(np.float64).copy()
-    np.fill_diagonal(cd, np.inf)
-    active = list(range(K))
-    while len(active) > 1:
-        sub = cd[np.ix_(active, active)]
-        k = int(np.argmin(sub))
-        i, j = divmod(k, len(active))
-        if sub[i, j] > max_ed:
-            break
-        ai, aj = active[i], active[j]
-        # complete link: distance to merged = max of the two
-        cd[ai, :] = np.maximum(cd[ai, :], cd[aj, :])
-        cd[:, ai] = cd[ai, :]
-        cd[ai, ai] = np.inf
-        clusters[ai].extend(clusters[aj])
-        clusters[aj] = []
-        active.pop(j)
-    return [c for c in clusters if c]
+    if K == 0:
+        return []
+    if K == 1:
+        return [[0]]
+    D = d.astype(np.float64).copy()
+    np.fill_diagonal(D, np.inf)
+    active = np.ones(K, bool)
+    merges: list[tuple[int, int, float]] = []  # (rep kept, rep merged, h)
+    chain: list[int] = []
+    n_active = K
+    while n_active > 1:
+        if not chain:
+            chain.append(int(np.argmax(active)))
+        x = chain[-1]
+        row = np.where(active, D[x], np.inf)
+        row[x] = np.inf
+        y = int(np.argmin(row))
+        if len(chain) >= 2 and y == chain[-2]:
+            merges.append((x, y, float(row[y])))
+            D[x] = np.maximum(D[x], D[y])
+            D[:, x] = D[x]
+            D[x, x] = np.inf
+            active[y] = False
+            chain.pop()
+            chain.pop()
+            n_active -= 1
+        else:
+            chain.append(y)
+    parent = list(range(K))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for x, y, h in merges:
+        if h <= max_ed:
+            parent[find(y)] = find(x)
+    groups: dict[int, list[int]] = {}
+    for i in range(K):
+        groups.setdefault(find(i), []).append(i)
+    return list(groups.values())
 
 
 def single_link_clusters(d: np.ndarray, max_ed: int) -> list[list[int]]:

@@ -717,18 +717,18 @@ class ReadScanModel:
         `radius` is the dynamic-ED search radius (the bcMaxEditDistances
         cap): prefilter-mode results are exact within it and report
         not-found beyond it — the jar's enumeration-bailout semantics
-        (SURVEY §2.a BarcodeMatchTester). mode defaults to the MXU q-gram
-        prefilter for large used lists (radius <= 2), the Pallas brute
-        sweep otherwise on TPU, jnp brute elsewhere."""
+        (SURVEY §2.a BarcodeMatchTester). mode defaults to the Pallas
+        brute sweep on TPU (measured 559k reads/s vs 8k barcodes — the
+        VMEM-resident Myers tile outruns the MXU q-gram prefilter, whose
+        top-k + candidate gathers are the slow ops on TPU), jnp brute
+        elsewhere; "prefilter" stays available for very large used lists
+        where O(B*N*W) brute work eventually loses."""
         import jax as _jax
 
         from sicelore_tpu.ops import bcsearch
         on_tpu = _jax.devices()[0].platform == "tpu"
         if mode is None:
-            if n_valid > self.PREFILTER_MIN_BC and radius <= 2:
-                mode = "prefilter"
-            else:
-                mode = "pallas" if on_tpu else "jnp"
+            mode = "pallas" if on_tpu else "jnp"
         nt = 512
         used_peq = editdist.build_peq(patterns) if len(patterns) else \
             np.zeros((4, 1), np.uint32)

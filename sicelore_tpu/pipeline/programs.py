@@ -82,10 +82,12 @@ def add_bam_molecule_tags(in_bam, out_bam, cell_tag="BC", umi_tag="U8",
 
 
 def add_gene_name_tag(in_bam, out_bam, refflat, gene_tag="GE",
+                      strand_tag="GS", function_tag="XF",
                       use_strand: bool = True):
-    """AddGeneNameTag: overlap-based gene tagging from refFlat (reference
-    programs/AddGeneNameTag.java — Drop-seq port; exon overlap outranks
-    intronic, strand-filtered with multi-gene tolerance)."""
+    """AddGeneNameTag (programs/AddGeneNameTag.java:116-161): Drop-seq
+    LocusFunction gene tagging — GE = comma-joined exon-consistent
+    CODING/UTR genes (strand-filtered), GS = their strands, XF = the
+    read's best LocusFunction over ALL overlapping genes."""
     tagger = GeneTagger(RefFlatModel.load(refflat))
     n = tagged = 0
     with BamReader(in_bam) as rd, BamWriter(out_bam, rd.header) as w:
@@ -94,8 +96,8 @@ def add_gene_name_tag(in_bam, out_bam, refflat, gene_tag="GE",
             n += 1
             if not r.is_unmapped and 0 <= r.ref_id < len(ref_names):
                 strand = ("-" if r.is_reverse else "+") if use_strand else None
-                # per-block overlap like the reference (exon blocks of the
-                # spliced alignment, not the full span)
+                # alignment blocks of the spliced alignment (M/=/X runs),
+                # not the full span (AddGeneNameTag.java:196-224)
                 blocks = []
                 pos = r.pos + 1
                 for op, ln in r.cigar:
@@ -104,9 +106,12 @@ def add_gene_name_tag(in_bam, out_bam, refflat, gene_tag="GE",
                         pos += ln
                     elif op in ("N", "D"):
                         pos += ln
-                g = tagger.tag(ref_names[r.ref_id], blocks, strand)
-                if g:
-                    r.set_tag(gene_tag, g, "Z")
+                ge, gs, xf = tagger.annotate(ref_names[r.ref_id], blocks,
+                                             strand)
+                r.set_tag(function_tag, xf, "Z")
+                if ge is not None:
+                    r.set_tag(gene_tag, ge, "Z")
+                    r.set_tag(strand_tag, gs, "Z")
                     tagged += 1
             w.write(r)
     return {"records": n, "tagged": tagged}

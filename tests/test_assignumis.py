@@ -140,3 +140,64 @@ def test_assignumis_end_to_end(sorted_bam, tmp_path):
     parsed = {tuple(l.split("\t")[:2]): int(l.split("\t")[2]) for l in gc}
     assert parsed[("GENE0", "AAAACCCCGGGGTTTT")] == 2
     assert parsed[("GENE1", "TTTTGGGGCCCCAAAA")] == 2
+
+
+def test_complete_link_nnchain_properties():
+    """NN-chain complete-link: (a) matches the naive global-min algorithm
+    on unique-distance matrices, (b) cluster diameter <= max_ed always,
+    (c) scales to a 3000-UMI group in O(K^2) time."""
+    import time
+
+    import numpy as np
+
+    def naive(d, max_ed):
+        K = d.shape[0]
+        clusters = [[i] for i in range(K)]
+        cd = d.astype(np.float64).copy()
+        np.fill_diagonal(cd, np.inf)
+        active = list(range(K))
+        while len(active) > 1:
+            sub = cd[np.ix_(active, active)]
+            k = int(np.argmin(sub))
+            i, j = divmod(k, len(active))
+            if sub[i, j] > max_ed:
+                break
+            ai, aj = active[i], active[j]
+            cd[ai, :] = np.maximum(cd[ai, :], cd[aj, :])
+            cd[:, ai] = cd[ai, :]
+            cd[ai, ai] = np.inf
+            clusters[ai].extend(clusters[aj])
+            clusters[aj] = []
+            active.pop(j)
+        return {frozenset(c) for c in clusters if c}
+
+    rng = np.random.default_rng(0)
+    for K in (2, 5, 17, 40):
+        a = rng.random((K, K)) * 10
+        d = np.triu(a, 1) + np.triu(a, 1).T  # unique off-diag distances
+        for max_ed in (2.0, 5.0):
+            got = {frozenset(c) for c in complete_link_clusters(d, max_ed)}
+            assert got == naive(d, max_ed), (K, max_ed)
+            for c in got:  # diameter bound
+                idx = sorted(c)
+                if len(idx) > 1:
+                    sub = d[np.ix_(idx, idx)]
+                    np.fill_diagonal(sub, 0)
+                    assert sub.max() <= max_ed
+
+    # integer-ED matrix with ties: diameter bound must still hold
+    di = rng.integers(0, 6, (60, 60))
+    di = np.triu(di, 1) + np.triu(di, 1).T
+    for c in complete_link_clusters(di, 2):
+        if len(c) > 1:
+            sub = di[np.ix_(sorted(c), sorted(c))]
+            assert sub.max() <= 2
+
+    # 3000-UMI group (the reference's single-link switchover point) in
+    # seconds, not minutes (old implementation was O(K^3))
+    K = 3000
+    a = rng.integers(0, 13, (K, K)).astype(np.float64)
+    d = np.triu(a, 1) + np.triu(a, 1).T
+    t0 = time.time()
+    complete_link_clusters(d, 2)
+    assert time.time() - t0 < 30

@@ -78,8 +78,49 @@ def test_add_gene_name_tag(tmp_path):
         w.write(_rec("r3", pos=50000, seq="A" * 50))          # intergenic
     programs.add_gene_name_tag(p, tmp_path / "o.bam", refflat)
     with BamReader(tmp_path / "o.bam") as rd:
-        tags = {r.qname: r.get_tag("GE") for r in rd}
-    assert tags == {"r1": "GA", "r2": "GB", "r3": None}
+        tags = {r.qname: (r.get_tag("GE"), r.get_tag("GS"), r.get_tag("XF"))
+                for r in rd}
+    assert tags == {"r1": ("GA", "+", "CODING"),
+                    "r2": ("GB", "-", "CODING"),
+                    "r3": (None, None, "INTERGENIC")}
+
+
+def test_add_gene_name_tag_locus_functions(tmp_path):
+    """Drop-seq LocusFunction fidelity (AddGeneNameTag.java:116-161,
+    343-369): UTR vs CODING via cds bounds, intronic-only genes excluded
+    from GE but reflected in XF, antisense reads get no GE, overlapping
+    same-strand genes comma-join."""
+    refflat = tmp_path / "m.refFlat"
+    refflat.write_text(
+        # GA +: exons 101-200, 401-500 (1-based); CDS 150..450 ->
+        # 101-149 and 451-500 are UTR
+        "GA\tT1\tchr1\t+\t100\t500\t149\t450\t2\t100,400,\t200,500,\n"
+        # GB +: overlaps GA's second exon region
+        "GB\tT2\tchr1\t+\t380\t600\t380\t600\t1\t380,\t600,\n"
+        # GC +: non-coding (cdsStart == cdsEnd) -> all-UTR exon
+        "GC\tT3\tchr1\t+\t2000\t2500\t2000\t2000\t1\t2000,\t2500,\n"
+        # GD +: read will fall entirely in the intron
+        "GD\tT4\tchr1\t+\t5000\t9000\t5000\t9000\t2\t5000,8000,\t5100,9000,\n")
+    p = tmp_path / "in.bam"
+    with BamWriter(p, HDR) as w:
+        w.write(_rec("utr5", pos=105, seq="A" * 30))    # GA 5' UTR
+        w.write(_rec("cds", pos=160, seq="A" * 30))     # GA CODING
+        w.write(_rec("multi", pos=420, seq="A" * 30))   # GA+GB overlap
+        w.write(_rec("nc", pos=2100, seq="A" * 30))     # GC non-coding: UTR
+        w.write(_rec("intron", pos=6000, seq="A" * 30))  # GD intron only
+        w.write(_rec("anti", pos=160, seq="A" * 30, flag=16))  # antisense GA
+    programs.add_gene_name_tag(p, tmp_path / "o.bam", refflat)
+    with BamReader(tmp_path / "o.bam") as rd:
+        tags = {r.qname: (r.get_tag("GE"), r.get_tag("GS"), r.get_tag("XF"))
+                for r in rd}
+    assert tags["utr5"] == ("GA", "+", "UTR")
+    assert tags["cds"] == ("GA", "+", "CODING")
+    assert tags["multi"] == ("GA,GB", "+,+", "CODING")
+    assert tags["nc"] == ("GC", "+", "UTR")
+    # intronic-only: no GE/GS (not CODING/UTR), XF reports INTRONIC
+    assert tags["intron"] == (None, None, "INTRONIC")
+    # antisense: strand filter removes GA -> no GE, XF still CODING
+    assert tags["anti"] == (None, None, "CODING")
 
 
 def test_export_clipped_and_readd_tags(tmp_path):
