@@ -361,6 +361,16 @@ def _add_simple_programs(sub):
     p = sub.add_parser("moleculecounter", help="count distinct (BC,U8)")
     p.add_argument("-I", "--INPUT", required=True)
 
+    p = sub.add_parser("exportmetrics", help="per-molecule + per-cell "
+                       "metrics from a tagged BAM (ExportMetrics)")
+    p.add_argument("-I", "--INPUT", required=True)
+    p.add_argument("-C", "--CSV", required=True, help="cell barcodes csv")
+    p.add_argument("--OM", required=True, help="molecule metrics output")
+    p.add_argument("--OC", required=True, help="cell metrics output")
+    p.add_argument("--CELLTAG", default="CB")
+    p.add_argument("--UMITAG", default="UB")
+    p.add_argument("--GENETAG", default="GN")
+
     p = sub.add_parser("exportmoleculereads",
                        help="fastq of listed molecules' reads")
     p.add_argument("-I", "--INPUT", required=True)
@@ -591,6 +601,10 @@ def cmd_simple(args) -> int:
     elif args.cmd == "moleculecounter":
         from sicelore_tpu.pipeline import programs2
         r = programs2.molecule_counter(args.INPUT)
+    elif args.cmd == "exportmetrics":
+        from sicelore_tpu.pipeline import programs2
+        r = programs2.export_metrics(args.INPUT, args.CSV, args.OM, args.OC,
+                                     args.CELLTAG, args.UMITAG, args.GENETAG)
     elif args.cmd == "exportmoleculereads":
         from sicelore_tpu.pipeline import programs2
         r = programs2.export_molecule_reads(args.INPUT, args.CSV,

@@ -333,9 +333,7 @@ def make_pass1_fn(cfg: PipelineConfig, peq_ad, peq_adc, peq_tso):
     return fn
 
 
-def make_pass1_map_fn(cfg: PipelineConfig, peq_ad, peq_adc, peq_tso):
-    """Pass-1 lax.map mega dispatcher over [C, SLICE, EDGE/2+4] 2-bit slice
-    stacks — one RPC pair per mega batch (see make_scan_search_map_fn)."""
+def _make_pass1_inner(cfg: PipelineConfig, peq_ad, peq_adc, peq_tso):
     body = make_edge_scan_fn(cfg)
     peq_ad, peq_adc, peq_tso = (np.asarray(peq_ad), np.asarray(peq_adc),
                                 np.asarray(peq_tso))
@@ -348,11 +346,39 @@ def make_pass1_map_fn(cfg: PipelineConfig, peq_ad, peq_adc, peq_tso):
                    jnp.asarray(peq_tso))
         return _pass1_rows(cfg, out)
 
+    return inner
+
+
+def make_pass1_map_fn(cfg: PipelineConfig, peq_ad, peq_adc, peq_tso):
+    """Pass-1 lax.map mega dispatcher over [C, SLICE, EDGE/2+4] 2-bit slice
+    stacks — one RPC pair per mega batch (see make_scan_search_map_fn)."""
+    inner = _make_pass1_inner(cfg, peq_ad, peq_adc, peq_tso)
+
     @jax.jit
     def mega(packed3):
         return jax.lax.map(inner, packed3)
 
     return mega
+
+
+def make_pass1_sharded_fn(cfg: PipelineConfig, peq_ad, peq_adc, peq_tso,
+                          mesh, data_axis: str = "data"):
+    """Multi-chip pass-1 dispatcher: the [C, SLICE, E+4] slice stack is
+    data-parallel over `data_axis` (each chip lax.maps its C/n local
+    slices); results need no collective — per-read rows concatenate on the
+    host exactly like the single-chip path. The TPU analog of the jar's
+    per-file worker pool at pod-slice scale (SURVEY §2.d row 1)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    inner = _make_pass1_inner(cfg, peq_ad, peq_adc, peq_tso)
+
+    def local(packed3):
+        return jax.lax.map(inner, packed3)
+
+    sharded = jax.shard_map(local, mesh=mesh, in_specs=P(data_axis),
+                            out_specs=P(data_axis), check_vma=False)
+    return jax.jit(sharded,
+                   in_shardings=NamedSharding(mesh, P(data_axis)))
 
 
 def make_edge_scan_packed_fn(cfg: PipelineConfig):
@@ -642,11 +668,47 @@ def make_scan_search_map_fn(cfg: PipelineConfig, mode: str, radius: int = 2,
     return mega
 
 
-class ReadScanModel:
-    """Host-side wrapper: owns pattern bitmasks + the jitted scan fns."""
+def make_scan_search_sharded_fn(cfg: PipelineConfig, mesh, mode: str,
+                                radius: int = 2, K: int = 64,
+                                data_axis: str = "data"):
+    """Multi-chip fused scan+search: slices data-parallel over `data_axis`,
+    the used-barcode list + adapter bitmasks replicated per chip (the
+    whitelist-replication strategy of SURVEY §2.d row 7). Per-read best/
+    second-best are computed entirely on the owning chip — no collective —
+    so the host-side emit path is byte-identical to single-chip."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def __init__(self, cfg: PipelineConfig | None = None):
+    inner = make_scan_search_body(cfg, mode, radius, K)
+
+    def local(packed3, peq_ad, peq_adc, peq_tso, peq_bc, nvalid, qgram_t):
+        return jax.lax.map(
+            lambda p: inner(p, peq_ad, peq_adc, peq_tso, peq_bc, nvalid,
+                            qgram_t), packed3)
+
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(data_axis), P(), P(), P(), P(), P(), P()),
+        out_specs=P(data_axis), check_vma=False)
+    sh = lambda spec: NamedSharding(mesh, spec)
+    return jax.jit(sharded, in_shardings=(
+        sh(P(data_axis)), sh(P()), sh(P()), sh(P()), sh(P()), sh(P()),
+        sh(P())))
+
+
+class ReadScanModel:
+    """Host-side wrapper: owns pattern bitmasks + the jitted scan fns.
+
+    With `mesh` (a jax.sharding.Mesh with a "data" axis) the fused pass-1
+    and pass-2 dispatchers run sharded over the mesh — multi-chip as a
+    pipeline mode, not a demo. Host-side outputs are identical to the
+    single-chip path (asserted in tests/test_multichip_pipeline.py)."""
+
+    def __init__(self, cfg: PipelineConfig | None = None, mesh=None,
+                 data_axis: str = "data"):
         self.cfg = cfg or PipelineConfig()
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self._gran = int(mesh.shape[data_axis]) if mesh is not None else 1
         self.is5p = getattr(self.cfg, "chemistry", "3p") == "5p"
         if self.is5p:
             a, t = self.cfg.adapter5p, self.cfg.tso5p
@@ -745,7 +807,11 @@ class ReadScanModel:
         self._n_valid = n_valid
         self._radius = radius
         self._mode = mode
-        self._mega_fn = make_scan_search_map_fn(self.cfg, mode, radius, K)
+        if self.mesh is not None:
+            self._mega_fn = make_scan_search_sharded_fn(
+                self.cfg, self.mesh, mode, radius, K, self.data_axis)
+        else:
+            self._mega_fn = make_scan_search_map_fn(self.cfg, mode, radius, K)
 
     # -- fused pass-1 scan (meta + exact BC kmer, 1 RPC each way) --------
 
@@ -763,33 +829,50 @@ class ReadScanModel:
         out["bc_kmer_valid"] = arr[K + 2] != 0
         return out
 
+    def _slices(self, full: np.ndarray):
+        """Cut the padded row matrix into a [C, SLICE, E] stack with C a
+        multiple of the mesh data-axis size, plus the greedy dispatch spans
+        (take = gran * 2^k, capped at MAX_C slices per device)."""
+        S = self.SLICE
+        g = self._gran
+        rows = full.shape[0]
+        C = max((rows + S - 1) // S, 1)
+        C = ((C + g - 1) // g) * g
+        if C * S != rows:
+            pad = np.zeros((C * S - rows, full.shape[1]), np.uint8)
+            full = np.concatenate([full, pad], axis=0)
+        arr3 = full.reshape(C, S, -1)
+        spans, c0 = [], 0
+        while c0 < C:
+            take = g
+            while take * 2 <= min(self.MAX_C * g, C - c0):
+                take *= 2
+            spans.append((c0, take))
+            c0 += take
+        return arr3, spans
+
     def scan_pass1(self, seqs: list[bytes], quals: list[bytes]):
         """Composite edge scan + exact-BC kmer extraction; returns the
         edge dict (coords remapped) plus 'bc_kmer' uint32 and
         'bc_kmer_valid' bool arrays. 2-bit lax.map mega batches; reads with
         N bases re-run through the exact 4-bit fallback."""
         if not hasattr(self, "_pass1_mega"):
-            self._pass1_mega = make_pass1_map_fn(self.cfg, self.peq_ad,
-                                                 self.peq_adc, self.peq_tso)
+            if self.mesh is not None:
+                self._pass1_mega = make_pass1_sharded_fn(
+                    self.cfg, self.peq_ad, self.peq_adc, self.peq_tso,
+                    self.mesh, self.data_axis)
+            else:
+                self._pass1_mega = make_pass1_map_fn(
+                    self.cfg, self.peq_ad, self.peq_adc, self.peq_tso)
         packed, qv, comp_lens, true_lens, dirty = encode_composite_2bit(
             seqs, quals)
         B = len(seqs)
         lens_up = np.where(dirty, 0, comp_lens).astype("<u4")
         full = np.concatenate(
             [packed, lens_up.view(np.uint8).reshape(-1, 4)], axis=1)
-        S = self.SLICE
-        C = max((B + S - 1) // S, 1)
-        if C * S != full.shape[0]:
-            pad = np.zeros((C * S - full.shape[0], full.shape[1]), np.uint8)
-            full = np.concatenate([full, pad], axis=0)
-        arr3 = full.reshape(C, S, -1)
-        parts, c0 = [], 0
-        while c0 < C:
-            take = 1
-            while take * 2 <= min(self.MAX_C, C - c0):
-                take *= 2
-            parts.append(self._pass1_mega(jnp.asarray(arr3[c0:c0 + take])))
-            c0 += take
+        arr3, spans = self._slices(full)
+        parts = [self._pass1_mega(jnp.asarray(arr3[c0:c0 + take]))
+                 for c0, take in spans]
         R = len(EDGE_META_KEYS) + 3
         arr = np.concatenate(
             [np.asarray(h).transpose(1, 0, 2).reshape(R, -1) for h in parts],
@@ -840,23 +923,11 @@ class ReadScanModel:
         lens_up = np.where(dirty, 0, comp_lens).astype("<u4")
         full = np.concatenate(
             [packed, lens_up.view(np.uint8).reshape(-1, 4)], axis=1)
-        S = self.SLICE
-        C = max((B + S - 1) // S, 1)
-        if C * S != full.shape[0]:
-            pad = np.zeros((C * S - full.shape[0], full.shape[1]), np.uint8)
-            full = np.concatenate([full, pad], axis=0)
-        arr3 = full.reshape(C, S, -1)
-        parts = []
-        c0 = 0
-        while c0 < C:
-            take = 1
-            while take * 2 <= min(self.MAX_C, C - c0):
-                take *= 2
-            h = self._mega_fn(jnp.asarray(arr3[c0:c0 + take]), self.peq_ad,
-                              self.peq_adc, self.peq_tso, self._peq_bc,
-                              self._nvalid, self._qgram_t)
-            parts.append(h)
-            c0 += take
+        arr3, spans = self._slices(full)
+        parts = [self._mega_fn(jnp.asarray(arr3[c0:c0 + take]), self.peq_ad,
+                               self.peq_adc, self.peq_tso, self._peq_bc,
+                               self._nvalid, self._qgram_t)
+                 for c0, take in spans]
         return parts, qv, comp_lens, true_lens, dirty, seqs, quals, B
 
     def _scan_search_sync(self, seqs: list[bytes], quals: list[bytes]):

@@ -168,10 +168,33 @@ class BatchedConsensusEngine:
     2 -> longest, >=3 -> MSA consensus)."""
 
     def __init__(self, maxreads: int = 20, band: int = 64,
-                 max_center_len: int = 4096):
+                 max_center_len: int = 4096, mesh=None,
+                 data_axis: str = "data"):
+        """`mesh`: a jax.sharding.Mesh — pair batches shard over
+        `data_axis` and per-molecule votes psum-merge (multi-chip
+        consensus as a pipeline mode; results identical to single-chip)."""
         self.band = band
         self.maxreads = maxreads
         self.max_center_len = max_center_len
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self._gran = int(mesh.shape[data_axis]) if mesh is not None else 1
+        self._steps: dict = {}
+
+    def _votes(self, c_arr, cl, r_arr, rl, mids, W: int, M: int):
+        if self.mesh is None:
+            return consensus_votes(jnp.asarray(c_arr), jnp.asarray(cl),
+                                   jnp.asarray(r_arr), jnp.asarray(rl),
+                                   jnp.asarray(mids), W, M)
+        from sicelore_tpu.parallel.consensus_step import (
+            make_sharded_consensus_step)
+        step = self._steps.get((W, M))
+        if step is None:
+            step, _ = make_sharded_consensus_step(self.mesh, W, M,
+                                                  self.data_axis)
+            self._steps[(W, M)] = step
+        return step(jnp.asarray(c_arr), jnp.asarray(cl), jnp.asarray(r_arr),
+                    jnp.asarray(rl), jnp.asarray(mids))
 
     def __call__(self, molecules: list[list[bytes]], minps: int = 3,
                  maxps: int = 20):
@@ -216,6 +239,8 @@ class BatchedConsensusEngine:
             Lr = Lc + W
             P = len(centers)
             Pp = max(8, 1 << (P - 1).bit_length())
+            g = self._gran
+            Pp = ((Pp + g - 1) // g) * g  # divisible by the mesh data axis
             c_arr = np.full((Pp, Lc), dna.PAD, np.int8)
             r_arr = np.full((Pp, Lr), dna.PAD, np.int8)
             cl = np.zeros(Pp, np.int32)
@@ -225,10 +250,10 @@ class BatchedConsensusEngine:
                 c_arr[p, :clens[p]] = dna.encode(centers[p])
                 r_arr[p, :rlens[p]] = dna.encode(reads[p])
                 cl[p], rl[p], mids[p] = clens[p], rlens[p], mol_ids[p]
-            M = len(info) + 1
-            cv, iv, pc = consensus_votes(
-                jnp.asarray(c_arr), jnp.asarray(cl), jnp.asarray(r_arr),
-                jnp.asarray(rl), jnp.asarray(mids), W, M)
+            # pad M to a power of two (bounds compiled-shape diversity;
+            # segments beyond len(info) only ever hold padding votes)
+            M = max(8, 1 << len(info).bit_length())
+            cv, iv, pc = self._votes(c_arr, cl, r_arr, rl, mids, W, M)
             cv, iv, pc = np.asarray(cv), np.asarray(iv), np.asarray(pc)
             for m_local, (mi, cseq, R) in enumerate(info):
                 results[mi] = self._assemble(

@@ -214,6 +214,47 @@ def export_molecule_reads(in_bam, molecules_csv, out_fastq, cell_tag="BC",
     return {"exported": n}
 
 
+def export_metrics(in_bam, cells_csv, out_molecules, out_cells,
+                   cell_tag="CB", umi_tag="UB", gene_tag="GN"):
+    """ExportMetrics (programs/ExportMetrics.java:53-128): per-molecule and
+    per-cell metrics from any tagged BAM (illumina CB/UB/GN or long-read
+    BC/U8/IG defaults selectable). Molecule rows `cell\\tumi\\tgene\\t
+    nb_read` (gene = last gene tag seen for the molecule, "nogene" when
+    missing); cell rows `cell\\tnb_read\\tnb_umi` where nb_read counts
+    DISTINCT read names across the cell's molecules (the reference unions
+    the per-UMI read-name sets)."""
+    from sicelore_tpu.core.matrix import load_cell_list
+    cells = set(load_cell_list(cells_csv))
+    mamap: dict[str, dict[str, set]] = defaultdict(lambda: defaultdict(set))
+    mygene: dict[tuple, str] = {}
+    with BamReader(in_bam) as rd:
+        for r in rd:
+            bc = r.get_tag(cell_tag)
+            if bc is not None:
+                bc = bc.replace("-1", "")
+            u8 = r.get_tag(umi_tag)
+            ig = r.get_tag(gene_tag) or "nogene"
+            if bc in cells and u8 is not None:
+                mamap[bc][u8].add(r.qname)
+                mygene[(bc, u8)] = ig
+    total_umis = total_reads = 0
+    with open(out_molecules, "w") as fh:
+        fh.write("cell\tumi\tgene\tnb_read\n")
+        for bc, umis in mamap.items():
+            for u8, reads in umis.items():
+                fh.write(f"{bc}\t{u8}\t{mygene[(bc, u8)]}\t{len(reads)}\n")
+    with open(out_cells, "w") as fh:
+        fh.write("cell\tnb_read\tnb_umi\n")
+        for bc, umis in mamap.items():
+            all_reads = set()
+            for reads in umis.values():
+                all_reads |= reads
+            fh.write(f"{bc}\t{len(all_reads)}\t{len(umis)}\n")
+            total_umis += len(umis)
+            total_reads += len(all_reads)
+    return {"cells": len(mamap), "umis": total_umis, "reads": total_reads}
+
+
 def add_reads_to_molecules(std_bam, targeted_bam, out_bam, cell_tag="BC",
                            umi_tag="U8"):
     """AddReadsToMolecules: merge targeted-experiment records into the

@@ -93,9 +93,13 @@ class ScanFastqPipeline:
                  seed: int = 0,
                  user_max_ed: int | None = None,
                  known_cells: bool = False,
-                 compress: bool = False):
+                 compress: bool = False,
+                 mesh=None):
+        """`mesh`: a jax.sharding.Mesh with a "data" axis — both scan
+        passes run sharded over it (multi-chip pipeline mode); outputs are
+        identical to single-chip (tests/test_multichip_pipeline.py)."""
         self.cfg = cfg or PipelineConfig()
-        self.model = readscan.ReadScanModel(self.cfg)
+        self.model = readscan.ReadScanModel(self.cfg, mesh=mesh)
         if whitelist is None:
             raise ValueError("whitelist required (10x barcode list)")
         if isinstance(whitelist, (list, tuple)):

@@ -115,6 +115,35 @@ def test_add_reads_to_molecules_and_haplo(tmp_path):
     assert (tmp_path / "hap" / "G_T1.fa").read_text() == ">C-U\nACGTACGT\n"
 
 
+def test_export_metrics(tmp_path):
+    # ExportMetrics.java:53-128: molecule rows cell/umi/gene/nb_read with
+    # distinct read names per molecule; cell rows union read names over the
+    # cell's molecules; "-1" stripped; gene defaults to "nogene"
+    recs = [_rec("r0", tags=[("CB", "Z", "C0-1"), ("UB", "Z", "U0"),
+                             ("GN", "Z", "G1")]),
+            _rec("r0", tags=[("CB", "Z", "C0-1"), ("UB", "Z", "U0"),
+                             ("GN", "Z", "G1")]),  # same read name -> dedup
+            _rec("r1", tags=[("CB", "Z", "C0"), ("UB", "Z", "U0"),
+                             ("GN", "Z", "G2")]),  # last gene wins
+            _rec("r2", tags=[("CB", "Z", "C0"), ("UB", "Z", "U1")]),  # nogene
+            _rec("r3", tags=[("CB", "Z", "C1"), ("UB", "Z", "U2"),
+                             ("GN", "Z", "G1")]),
+            _rec("r4", tags=[("CB", "Z", "BAD"), ("UB", "Z", "U9")]),
+            _rec("r5", tags=[("CB", "Z", "C0")])]  # no UMI -> skipped
+    p = _bam(tmp_path, recs)
+    (tmp_path / "cells.csv").write_text("C0-1\nC1\n")
+    r = programs2.export_metrics(p, tmp_path / "cells.csv",
+                                 tmp_path / "om.tsv", tmp_path / "oc.tsv")
+    assert r == {"cells": 2, "umis": 3, "reads": 4}
+    om = (tmp_path / "om.tsv").read_text().splitlines()
+    assert om[0] == "cell\tumi\tgene\tnb_read"
+    assert sorted(om[1:]) == ["C0\tU0\tG2\t2", "C0\tU1\tnogene\t1",
+                              "C1\tU2\tG1\t1"]
+    oc = (tmp_path / "oc.tsv").read_text().splitlines()
+    assert oc[0] == "cell\tnb_read\tnb_umi"
+    assert sorted(oc[1:]) == ["C0\t3\t2", "C1\t1\t1"]
+
+
 def test_junction_annotate(tmp_path):
     # exons (101-200) (301-400): intron 201..300 -> donor GT @201, AG @299
     genome = ["N"] * 500
