@@ -29,6 +29,36 @@ def _build() -> bool:
         return False
 
 
+_HOSTENC_PATH = _NATIVE_DIR / "build" / "sicelore_hostenc.so"
+_hostenc = None
+_hostenc_tried = False
+
+
+def get_hostenc():
+    """The native host-encode extension module (native/hostenc) or None.
+
+    A CPython extension (not ctypes): it receives the fastq chunk's
+    list[bytes] directly and fills the fixed-shape composite/code matrices
+    with multithreaded memcpy — the per-read Python slicing it replaces was
+    the largest host term of the scan budget."""
+    global _hostenc, _hostenc_tried
+    if _hostenc is not None or _hostenc_tried:
+        return _hostenc
+    _hostenc_tried = True
+    if not _HOSTENC_PATH.exists() and not _build():
+        return None
+    try:
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "sicelore_hostenc", str(_HOSTENC_PATH))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _hostenc = mod
+    except Exception:
+        return None
+    return _hostenc
+
+
 def get_lib():
     """The loaded library or None (after one build attempt)."""
     global _lib, _tried

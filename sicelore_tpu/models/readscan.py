@@ -408,30 +408,36 @@ def unpack_edge_meta(meta: np.ndarray) -> dict:
 
 
 def compute_qvs_np(qv: np.ndarray, lens: np.ndarray, out: dict,
-                   bc_len: int, is5p: bool = False) -> None:
-    """Host-side QV means (read/X-region/BC-region) via one prefix-sum +
-    boundary gathers — mirrors the former device `_mean_qv` /
-    `_window_mean_qv` math; adds read_qv/x_qv/bc_qv to `out`."""
+                   bc_len: int, is5p: bool = False,
+                   qsum: np.ndarray | None = None) -> None:
+    """Host-side QV means (read/X-region/BC-region); adds read_qv/x_qv/
+    bc_qv to `out`.
+
+    Windows are narrow (X region ~43 nt, BC 16 nt) so each mean is a
+    bounded [B, W] gather + masked row-sum — O(B*W) instead of the full
+    [B, L] prefix-sum, whose 250 MB scan was a top host term of the pass-2
+    budget. `qsum` (per-read qual sums, free from the native encode pass)
+    skips the whole-matrix row sum too."""
     B, L = qv.shape
     lens = np.asarray(lens).astype(np.int64)
-    # cs[:, k] = sum of first k quals (quals beyond the read are 0 already)
-    cs = np.zeros((B, L + 1), np.int64)
-    np.cumsum(qv, axis=1, out=cs[:, 1:])
-    rows = np.arange(B)
-    out["read_qv"] = (cs[rows, lens]
-                      / np.maximum(lens, 1)).astype(np.float32)
+    if qsum is None:
+        qsum = qv.sum(axis=1, dtype=np.int32)
+    out["read_qv"] = (qsum / np.maximum(lens, 1)).astype(np.float32)
     is_fwd = out["is_fwd"]
     ae = out["ae"]
+    rows = np.arange(B)[:, None]
 
     def window_mean(s_str, e_str):
         s = np.where(is_fwd, s_str, lens - 1 - e_str)
         e = np.where(is_fwd, e_str, lens - 1 - s_str)
         s = np.clip(s, 0, L)
-        e1 = np.clip(e + 1, 0, L)
-        e1 = np.minimum(e1, lens)
+        e1 = np.minimum(np.clip(e + 1, 0, L), lens)
         n = np.maximum(e1 - s, 1)
-        return ((cs[rows, e1] - cs[rows, np.minimum(s, e1)])
-                / n).astype(np.float32)
+        Wm = max(int(np.max(n, initial=1)), 1)
+        cols = s[:, None] + np.arange(Wm, dtype=np.int64)
+        m = cols < e1[:, None]
+        w = qv[rows, np.minimum(cols, L - 1)].astype(np.int32)
+        return ((w * m).sum(axis=1) / n).astype(np.float32)
 
     out["x_qv"] = window_mean(out["x_start"], out["x_end"])
     if is5p:  # BC right AFTER the adapter end in 5' chemistry
@@ -510,6 +516,12 @@ _ENC_PAD0 = dna._ENC.copy()
 _ENC_PAD0[0] = dna.PAD  # NUL byte = padding in the bulk-encode fast path
 
 
+def _hostenc():
+    """Native encode extension (native/hostenc) or None -> numpy fallback."""
+    from sicelore_tpu.io import native
+    return native.get_hostenc()
+
+
 def encode_composite(seqs: list[bytes], quals: list[bytes], edge: int = EDGE):
     """Encode reads into fixed [B, 2*edge] composites (head + tail splice).
 
@@ -580,11 +592,23 @@ def encode_composite_2bit(seqs: list[bytes], quals: list[bytes],
     composite; those must run through the 4-bit fallback (2 bits cannot
     represent N, and N must never match — reference NW scoring treats it
     as mismatch)."""
+    ext = _hostenc()
+    if ext is not None:
+        B, W = len(seqs), 2 * edge
+        p, q, cl, tl, dr, qs = ext.encode_composite_2bit(seqs, quals, edge)
+        packed = np.frombuffer(p, np.uint8).reshape(B, edge // 2)
+        qv = np.frombuffer(q, np.int8).reshape(B, W)
+        comp_lens = np.frombuffer(cl, np.int32)
+        true_lens = np.frombuffer(tl, np.int32)
+        dirty = np.frombuffer(dr, np.uint8).astype(bool)
+        qsum = np.frombuffer(qs, np.int32)
+        return packed, qv, comp_lens, true_lens, dirty, qsum
     codes, qv, comp_lens, true_lens = encode_composite(seqs, quals, edge)
     B, W = codes.shape
     cols = np.arange(W, dtype=np.int32)[None, :]
     dirty = ((codes == dna.N_CODE) & (cols < comp_lens[:, None])).any(axis=1)
-    return pack_2bit_np(codes), qv, comp_lens, true_lens, dirty
+    return (pack_2bit_np(codes), qv, comp_lens, true_lens, dirty,
+            qv.sum(axis=1, dtype=np.int32))
 
 
 SEARCH_ROWS = 6  # best_ed, idx_lo, idx_hi, second_ed, end_pos, overflow
@@ -815,11 +839,11 @@ class ReadScanModel:
 
     # -- fused pass-1 scan (meta + exact BC kmer, 1 RPC each way) --------
 
-    def _unpack_pass1(self, arr, qv, comp_lens, true_lens):
+    def _unpack_pass1(self, arr, qv, comp_lens, true_lens, qsum=None):
         K = len(EDGE_META_KEYS)
         out = unpack_edge_meta(arr[:K])
         compute_qvs_np(qv, comp_lens, out, self.cfg.barcodes.cell_bc_length,
-                       self.is5p)
+                       self.is5p, qsum)
         for key in ("ps", "pe", "ae", "x_start", "x_end"):
             out[key] = remap_composite(out[key], true_lens)
         out["true_lens"] = true_lens
@@ -864,7 +888,7 @@ class ReadScanModel:
             else:
                 self._pass1_mega = make_pass1_map_fn(
                     self.cfg, self.peq_ad, self.peq_adc, self.peq_tso)
-        packed, qv, comp_lens, true_lens, dirty = encode_composite_2bit(
+        packed, qv, comp_lens, true_lens, dirty, qsum = encode_composite_2bit(
             seqs, quals)
         B = len(seqs)
         lens_up = np.where(dirty, 0, comp_lens).astype("<u4")
@@ -877,7 +901,7 @@ class ReadScanModel:
         arr = np.concatenate(
             [np.asarray(h).transpose(1, 0, 2).reshape(R, -1) for h in parts],
             axis=1)[:, :B]
-        out = self._unpack_pass1(arr, qv, comp_lens, true_lens)
+        out = self._unpack_pass1(arr, qv, comp_lens, true_lens, qsum)
         if dirty.any():
             if not hasattr(self, "_pass1_fn"):
                 self._pass1_fn = make_pass1_fn(self.cfg, self.peq_ad,
@@ -917,7 +941,7 @@ class ReadScanModel:
         slice count bounds compiled shapes to {1,2,4,8,16} slices). Reads
         with N bases (unrepresentable in 2 bits) upload with length 0 and
         are re-run through the exact 4-bit path in finish_search."""
-        packed, qv, comp_lens, true_lens, dirty = encode_composite_2bit(
+        packed, qv, comp_lens, true_lens, dirty, qsum = encode_composite_2bit(
             seqs, quals)
         B = len(seqs)
         lens_up = np.where(dirty, 0, comp_lens).astype("<u4")
@@ -928,7 +952,7 @@ class ReadScanModel:
                                self.peq_adc, self.peq_tso, self._peq_bc,
                                self._nvalid, self._qgram_t)
                  for c0, take in spans]
-        return parts, qv, comp_lens, true_lens, dirty, seqs, quals, B
+        return parts, qv, comp_lens, true_lens, dirty, seqs, quals, B, qsum
 
     def _scan_search_sync(self, seqs: list[bytes], quals: list[bytes]):
         """Exact 4-bit fallback (handles N bases; serves dirty/overflow
@@ -949,7 +973,7 @@ class ReadScanModel:
 
     def finish_search(self, handles):
         """Force a scan_search_async result -> (edge dict, best dict)."""
-        parts, qv, comp_lens, true_lens, dirty, seqs, quals, B = handles
+        parts, qv, comp_lens, true_lens, dirty, seqs, quals, B, qsum = handles
         R = len(EDGE_META_KEYS) + SEARCH_ROWS
         arr = np.concatenate(
             [np.asarray(h).transpose(1, 0, 2).reshape(R, -1) for h in parts],
@@ -958,7 +982,7 @@ class ReadScanModel:
         out = unpack_edge_meta(arr[:K])
         # QVs from the composite qual matrix, in composite coords
         compute_qvs_np(qv, comp_lens, out, self.cfg.barcodes.cell_bc_length,
-                       self.is5p)
+                       self.is5p, qsum)
         for key in ("ps", "pe", "ae", "x_start", "x_end"):
             out[key] = remap_composite(out[key], true_lens)
         out["true_lens"] = true_lens

@@ -189,3 +189,41 @@ def test_precompile_warm_smoke(monkeypatch):
     times = precompile.warm(n_bc=64, full=False, log=lambda *a: None)
     assert set(times) == {"scan_search_C1", "scan_search_C2",
                           "pass1_C1", "pass1_C2", "fallback_4bit"}
+
+
+def test_native_encode_matches_numpy():
+    """native/hostenc encode_composite_2bit must be byte-identical to the
+    numpy fallback (packed codes, quals, lens, dirty) and its qsum must
+    equal the composite qual row sums."""
+    from sicelore_tpu.io import native
+    from sicelore_tpu.models.readscan import (EDGE, encode_composite,
+                                              pack_2bit_np)
+    from sicelore_tpu.utils import dna
+
+    ext = native.get_hostenc()
+    if ext is None:
+        import pytest
+        pytest.skip("native hostenc unavailable")
+    rng = np.random.default_rng(11)
+    seqs, quals = [], []
+    for L in (0, 1, 4, 16, 303, 304, 305, 607, 608, 609, 2000):
+        s = synth.random_seq(rng, L).encode() if L else b""
+        if L >= 10:  # sprinkle N and lowercase
+            s = s[:3] + b"N" + s[4:8] + b"acgt"[:2] + s[10:]
+        seqs.append(s)
+        quals.append(bytes(rng.integers(33, 74, L, dtype=np.uint8)))
+    B, W = len(seqs), 2 * EDGE
+    p, q, cl, tl, dr, qs = ext.encode_composite_2bit(seqs, quals, EDGE)
+    packed = np.frombuffer(p, np.uint8).reshape(B, EDGE // 2)
+    qv = np.frombuffer(q, np.int8).reshape(B, W)
+    codes_ref, qv_ref, cl_ref, tl_ref = encode_composite(seqs, quals)
+    cols = np.arange(W, dtype=np.int32)[None, :]
+    dirty_ref = ((codes_ref == dna.N_CODE)
+                 & (cols < cl_ref[:, None])).any(axis=1)
+    assert np.array_equal(packed, pack_2bit_np(codes_ref))
+    assert np.array_equal(qv, qv_ref)
+    assert np.array_equal(np.frombuffer(cl, np.int32), cl_ref)
+    assert np.array_equal(np.frombuffer(tl, np.int32), tl_ref)
+    assert np.array_equal(np.frombuffer(dr, np.uint8).astype(bool), dirty_ref)
+    assert np.array_equal(np.frombuffer(qs, np.int32),
+                          qv_ref.sum(axis=1, dtype=np.int32))
