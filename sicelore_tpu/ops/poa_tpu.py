@@ -211,6 +211,8 @@ class BatchedConsensusEngine:
                 else:
                     buckets[max(256, 1 << (c - 1).bit_length())].append(mi)
         W = self.band
+        pending = []  # (info, device handles) — all buckets dispatch before
+        # any host assembly runs, so vote computation overlaps assembly
         for Lc, idxs in buckets.items():
             # build pair batch
             centers, clens, reads, rlens, mol_ids = [], [], [], [], []
@@ -253,7 +255,9 @@ class BatchedConsensusEngine:
             # pad M to a power of two (bounds compiled-shape diversity;
             # segments beyond len(info) only ever hold padding votes)
             M = max(8, 1 << len(info).bit_length())
-            cv, iv, pc = self._votes(c_arr, cl, r_arr, rl, mids, W, M)
+            pending.append((info, self._votes(c_arr, cl, r_arr, rl, mids,
+                                              W, M)))
+        for info, (cv, iv, pc) in pending:
             cv, iv, pc = np.asarray(cv), np.asarray(iv), np.asarray(pc)
             for m_local, (mi, cseq, R) in enumerate(info):
                 results[mi] = self._assemble(
@@ -262,40 +266,49 @@ class BatchedConsensusEngine:
 
     @staticmethod
     def _assemble(center: bytes, col_votes, ins_votes, n_pairs, maxps):
-        """Majority consensus + QV from vote tensors (host).
+        """Majority consensus + QV from vote tensors (host, vectorized).
 
         R = n_pairs + 1 (center votes its own base per column; reads
-        without an insertion vote gap in insertion columns)."""
+        without an insertion vote gap in insertion columns). Emission
+        order per center position j: insertion columns (offset o
+        descending — right-justified trace order), then base column j;
+        majority-deletion columns are dropped (gap stripped). The
+        per-column Python loop this replaces was ~half the engine's
+        wall-clock at WTA batch sizes."""
         lc = len(center)
         R = n_pairs + 1
-        ccodes = dna.encode(center)
-        out = bytearray()
-        qv = bytearray()
-
-        def emit(ch_code, frac):
-            out.append(b"ACGT"[ch_code])
-            if frac >= 1.0:
-                qv.append(33 + maxps)
-            else:
-                q = int(round(-10 * np.log10(max(1.0 - frac, 1e-9))))
-                qv.append(33 + min(q, maxps))
-
-        cv = col_votes[:lc]  # [lc, 5]
-        iv = ins_votes[:lc + 1]  # [lc+1, K, 4]
-        for j in range(lc + 1):
-            # insertion columns before center pos j; offsets are
-            # right-justified (trace order), so left-to-right = descending o
-            for o in reversed(range(K_INS)):
-                v = iv[j, o]
-                gap_votes = R - int(v.sum())
-                b = int(np.argmax(v))
-                if int(v[b]) > gap_votes and int(v[b]) > 0:
-                    emit(b, v[b] / R)
-            if j < lc:
-                v = cv[j].copy()
-                v[min(int(ccodes[j]), 4) if ccodes[j] < 4 else 4] += 1
-                b = int(np.argmax(v))
-                if b != 4:
-                    emit(b, v[b] / R)
-                # majority deletion: column dropped (gap stripped)
-        return bytes(out), bytes(qv)
+        ccodes = np.minimum(dna.encode(center), 4).astype(np.int64)
+        cv = np.asarray(col_votes[:lc])            # [lc, 5]
+        iv = np.asarray(ins_votes[:lc + 1])        # [lc+1, K, 4]
+        K = K_INS
+        # slot layout: row j holds K insertion slots (o = K-1..0) then the
+        # base slot; total (lc+1)*(K+1) slots, last row's base slot unused
+        S = (lc + 1) * (K + 1)
+        code = np.zeros(S, np.int64)
+        win = np.zeros(S, np.int64)
+        keep = np.zeros(S, bool)
+        # insertion slots: argmax base wins iff votes > gap votes (R - sum)
+        ib = iv.argmax(axis=2)                     # [lc+1, K]
+        ivw = np.take_along_axis(iv, ib[:, :, None], axis=2)[:, :, 0]
+        ikeep = (ivw > R - iv.sum(axis=2)) & (ivw > 0)
+        slots = (np.arange(lc + 1)[:, None] * (K + 1)
+                 + (K - 1 - np.arange(K))[None, :])
+        code[slots.ravel()] = ib.ravel()
+        win[slots.ravel()] = ivw.ravel()
+        keep[slots.ravel()] = ikeep.ravel()
+        # base slots: center's own base votes too
+        if lc:
+            cv = cv.copy()
+            np.add.at(cv, (np.arange(lc), ccodes), 1)
+            bb = cv.argmax(axis=1)                 # [lc]
+            bw = np.take_along_axis(cv, bb[:, None], axis=1)[:, 0]
+            bslots = np.arange(lc) * (K + 1) + K
+            code[bslots] = bb
+            win[bslots] = bw
+            keep[bslots] = bb != 4
+        code, win = code[keep], win[keep]
+        out = np.frombuffer(b"ACGT", np.uint8)[np.minimum(code, 3)].tobytes()
+        frac = win / R
+        q = np.rint(-10 * np.log10(np.maximum(1.0 - frac, 1e-9)))
+        q = np.where(frac >= 1.0, maxps, np.minimum(q, maxps))
+        return out, (q.astype(np.uint8) + 33).tobytes()

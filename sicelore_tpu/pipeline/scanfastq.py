@@ -405,12 +405,25 @@ class ScanFastqPipeline:
                                      for e in range(max_ed_seen + 1)) + "\n")
 
     def run(self, inputs: list[str | Path], out_dir: str | Path):
+        """Single- or multi-host run. Under jax.distributed (multihost.init;
+        process_count > 1) every process scans files[pid::nproc]; the pass-1
+        whitelist counts are psum-merged over DCN so all hosts derive the
+        identical used list, per-host pass-2 outputs are disjoint by file
+        ownership, and process 0 writes the merged stats/reports — the
+        Nextflow/SGE scale-out role of SURVEY §2.d."""
+        import jax
+
+        from sicelore_tpu.parallel import multihost
+
         out_dir = Path(out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         files = []
         for p in inputs:
             p = Path(p)
             files.extend(fastq.find_fastq_files(p) if p.is_dir() else [p])
+        nproc = jax.process_count()
+        if nproc > 1:
+            files = multihost.shard_files(files)
         # PASS 1 (skipped when a known cell-BC list was provided, reference
         # -g/--cellRangerBCs behavior)
         if self.known_cells:
@@ -419,8 +432,10 @@ class ScanFastqPipeline:
             for f in files:
                 for chunk in fastq.read_fastq(f, self.chunk_size):
                     self.pass1_chunk(chunk)
+            self.wl_counts = multihost.allreduce_counts(self.wl_counts)
             self.build_used_list()
-            self.write_barcode_list(out_dir / "BarcodeList.tsv")
+            if jax.process_index() == 0:
+                self.write_barcode_list(out_dir / "BarcodeList.tsv")
         # PASS 2 — fused scan+sweep with double buffering: the device works
         # on chunk i+1 while the host writes chunk i's outputs (the analog of
         # the reference's reader/worker/writer thread pipeline)
@@ -454,11 +469,37 @@ class ScanFastqPipeline:
                     pchunk, phandles = pending
                     out, bc = self.model.finish_search(phandles)
                     self.pass2_emit(pchunk, out, bc, pw, fw)
-        self.write_barcodes_assigned(out_dir / "BarcodesAssigned.tsv")
-        with open(out_dir / "scanner_stats.json", "w") as fh:
-            json.dump(self.stats.to_json(), fh, indent=1)
-        self.write_report(out_dir / "ReadScanner.html")
+        if nproc > 1:
+            self._merge_multihost()
+        if jax.process_index() == 0:
+            self.write_barcodes_assigned(out_dir / "BarcodesAssigned.tsv")
+            with open(out_dir / "scanner_stats.json", "w") as fh:
+                json.dump(self.stats.to_json(), fh, indent=1)
+            self.write_report(out_dir / "ReadScanner.html")
         return self.stats
+
+    def _merge_multihost(self):
+        """Sum per-host scan stats + per-barcode assignment histograms
+        across processes (the MergeReadScannerStats role, live over DCN)."""
+        from sicelore_tpu.parallel import multihost
+
+        scalars = {k: v for k, v in self.stats.__dict__.items()
+                   if isinstance(v, int)}
+        for k, v in multihost.merge_scalar_stats(scalars).items():
+            setattr(self.stats, k, v)
+        ed = np.zeros(8, np.int64)
+        for e, c in self.stats.ed_hist.items():
+            ed[min(int(e), 7)] += c
+        ed = multihost.allreduce_counts(ed)
+        self.stats.ed_hist = defaultdict(
+            int, {e: int(c) for e, c in enumerate(ed) if c})
+        n = len(self.used_strs)
+        hist = np.zeros((n, 8), np.int64)
+        for bi, h in self.assigned_hist.items():
+            hist[bi] = h
+        hist = multihost.allreduce_counts(hist.ravel()).reshape(n, 8)
+        self.assigned_hist = {bi: hist[bi] for bi in range(n)
+                              if hist[bi].any()}
 
     def run_demon(self, inputs: list[str | Path], out_dir: str | Path,
                   poll_interval: float = 30.0, idle_timeout: float = 600.0,
