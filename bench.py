@@ -119,11 +119,18 @@ def bench_consensus(verbose=False):
 
 def bench_e2e(verbose=False, n_reads=102_400):
     """Honest end-to-end: synthetic fastq dir -> ScanFastqPipeline.run
-    (pass 1, used-list build, chimera scan, pass 2, fastq/stats writes)."""
+    (pass 1, used-list build, chimera scan, pass 2, fastq/stats writes).
+
+    Returns (warm_rps, cold_rps): the cold run pays every XLA compile
+    (one-time per deployment — the remote-TPU compile service costs
+    minutes); the warm run shares the ReadScanModel, so its cached jitted
+    closures serve a second pipeline at zero compiles — the steady-state
+    throughput a production run (100M reads, README.md:106) amortizes to."""
     import shutil
     import tempfile
     from pathlib import Path
 
+    from sicelore_tpu.models import readscan
     from sicelore_tpu.pipeline.scanfastq import ScanFastqPipeline
     from sicelore_tpu.utils import synth
 
@@ -146,12 +153,21 @@ def bench_e2e(verbose=False, n_reads=102_400):
                     fh.write(b"@read%d\n" % k + seqs[k] + b"\n+\n"
                              + quals[k] + b"\n")
                     k += 1
-        pipe = ScanFastqPipeline(whitelist=wl, chunk_size=32768)
-        t0 = time.time()
-        stats = pipe.run([fq_dir], tmp / "out")
-        dt = time.time() - t0
-        assert stats.bc_assigned > 0.8 * k, stats.to_json()
-        return k / dt
+        model = readscan.ReadScanModel()
+        times = []
+        for run in range(2):
+            pipe = ScanFastqPipeline(whitelist=wl, chunk_size=32768,
+                                     model=model)
+            t0 = time.time()
+            stats = pipe.run([fq_dir], tmp / f"out{run}")
+            times.append(time.time() - t0)
+            if verbose:
+                import sys
+                print(f"e2e {'cold' if run == 0 else 'warm'}: "
+                      f"{k / times[-1]:.0f} reads/s ({times[-1]:.1f}s)",
+                      file=sys.stderr)
+            assert stats.bc_assigned > 0.8 * k, stats.to_json()
+        return k / times[1], k / times[0]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -160,7 +176,7 @@ def main(verbose: bool = False):
     _setup_cache()
     scan_rps = bench_scan(verbose)
     umis_ps = bench_consensus(verbose)
-    e2e_rps = bench_e2e(verbose)
+    e2e_rps, e2e_cold = bench_e2e(verbose)
     print(json.dumps({
         "metric": "scanfastq_reads_per_s_per_chip",
         "value": round(scan_rps, 1),
@@ -171,6 +187,7 @@ def main(verbose: bool = False):
             "consensus_vs_baseline": round(umis_ps / BASELINE_UMIS_PER_S, 2),
             "e2e_scanfastq_reads_per_s": round(e2e_rps, 1),
             "e2e_vs_baseline": round(e2e_rps / BASELINE_READS_PER_S, 2),
+            "e2e_cold_incl_compiles_reads_per_s": round(e2e_cold, 1),
         },
     }))
 

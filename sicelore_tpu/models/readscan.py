@@ -831,11 +831,21 @@ class ReadScanModel:
         self._n_valid = n_valid
         self._radius = radius
         self._mode = mode
-        if self.mesh is not None:
-            self._mega_fn = make_scan_search_sharded_fn(
-                self.cfg, self.mesh, mode, radius, K, self.data_axis)
-        else:
-            self._mega_fn = make_scan_search_map_fn(self.cfg, mode, radius, K)
+        # cache built closures so re-binding a used list (same mode/radius/K)
+        # reuses the in-process jit cache instead of recompiling — rebinding
+        # happens per run/file in demon mode and in warm benchmarks
+        if not hasattr(self, "_mega_cache"):
+            self._mega_cache = {}
+        key = (mode, radius, K)
+        fn = self._mega_cache.get(key)
+        if fn is None:
+            if self.mesh is not None:
+                fn = make_scan_search_sharded_fn(
+                    self.cfg, self.mesh, mode, radius, K, self.data_axis)
+            else:
+                fn = make_scan_search_map_fn(self.cfg, mode, radius, K)
+            self._mega_cache[key] = fn
+        self._mega_fn = fn
 
     # -- fused pass-1 scan (meta + exact BC kmer, 1 RPC each way) --------
 

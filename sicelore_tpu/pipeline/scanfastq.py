@@ -94,12 +94,19 @@ class ScanFastqPipeline:
                  user_max_ed: int | None = None,
                  known_cells: bool = False,
                  compress: bool = False,
-                 mesh=None):
+                 mesh=None,
+                 model: "readscan.ReadScanModel | None" = None):
         """`mesh`: a jax.sharding.Mesh with a "data" axis — both scan
         passes run sharded over it (multi-chip pipeline mode); outputs are
-        identical to single-chip (tests/test_multichip_pipeline.py)."""
+        identical to single-chip (tests/test_multichip_pipeline.py).
+
+        `model`: share an existing ReadScanModel across pipeline runs —
+        its cached jitted closures carry over, so a second run at the same
+        shapes pays zero XLA compiles (the remote-TPU compile service is
+        the dominant cold-start cost)."""
         self.cfg = cfg or PipelineConfig()
-        self.model = readscan.ReadScanModel(self.cfg, mesh=mesh)
+        self.model = model if model is not None else \
+            readscan.ReadScanModel(self.cfg, mesh=mesh)
         if whitelist is None:
             raise ValueError("whitelist required (10x barcode list)")
         if isinstance(whitelist, (list, tuple)):
