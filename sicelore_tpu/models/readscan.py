@@ -744,6 +744,9 @@ class ReadScanModel:
         self.peq_tso = jnp.asarray(editdist.build_peq(dna.encode(t.sequence)[None, :]))
         self._edge_fn = make_edge_scan_packed_fn(self.cfg)
         self._internal_fn = make_internal_scan_fn(self.cfg)
+        # jitted-closure cache keyed by (mode, radius, K); tiny key space,
+        # deliberately unbounded (ADVICE r2: init here, not lazily)
+        self._mega_cache: dict = {}
 
     @property
     def bc_window_width(self) -> int:
@@ -834,8 +837,6 @@ class ReadScanModel:
         # cache built closures so re-binding a used list (same mode/radius/K)
         # reuses the in-process jit cache instead of recompiling — rebinding
         # happens per run/file in demon mode and in warm benchmarks
-        if not hasattr(self, "_mega_cache"):
-            self._mega_cache = {}
         key = (mode, radius, K)
         fn = self._mega_cache.get(key)
         if fn is None:

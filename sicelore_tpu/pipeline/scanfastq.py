@@ -104,7 +104,17 @@ class ScanFastqPipeline:
         its cached jitted closures carry over, so a second run at the same
         shapes pays zero XLA compiles (the remote-TPU compile service is
         the dominant cold-start cost)."""
-        self.cfg = cfg or PipelineConfig()
+        if model is not None:
+            # a shared model carries its own cfg/mesh; passing a diverging
+            # cfg or mesh alongside it would silently split the pipeline's
+            # host logic from the device path (ADVICE r2)
+            assert mesh is None or mesh is model.mesh, \
+                "model= and mesh= conflict; build the model with the mesh"
+            assert cfg is None or cfg is model.cfg, \
+                "model= and cfg= conflict; build the model with the cfg"
+            self.cfg = model.cfg
+        else:
+            self.cfg = cfg or PipelineConfig()
         self.model = model if model is not None else \
             readscan.ReadScanModel(self.cfg, mesh=mesh)
         if whitelist is None:
