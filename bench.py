@@ -105,7 +105,7 @@ def bench_consensus(verbose=False):
                           for _ in range(n_reads)])
     engine = BatchedConsensusEngine()
     t0 = time.time()
-    engine(molecules[:64])  # compile
+    engine(molecules)  # compile + first pass over every bucket shape
     if verbose:
         import sys
         print(f"consensus compile+first: {time.time() - t0:.1f}s",

@@ -2,25 +2,34 @@
 
 The reference forks one `spoa` process per molecule (~167 UMIs/s on 20
 cores, README.md:1146-1147). Here consensus is a fixed-shape batched
-computation over [pairs, band] tensors:
+computation:
 
   * per molecule: center = longest cDNA; every other read forms a
     (center, read) pair
-  * banded Needleman-Wunsch (match +5 / mismatch -4 / gap -8 — spoa
-    defaults) FORWARD and BACKWARD over a width-W diagonal band, scanning
-    center positions; the within-column gap recurrence is a max-plus
-    prefix scan (cummax of score - b*gap)
-  * a cell is on an optimal path iff F + B == total — no sequential
-    traceback; the entering band index per column classifies the move
-    (diagonal -> base vote, read-gap -> deletion vote) and the on-path
-    span gives insertion votes (up to K_INS per column)
-  * votes segment-sum per molecule on device; the host assembles the
-    majority consensus + agreement QVs with ConsensusMsa semantics
-    (utils/ConsensusMsa.java:51-91), identical to the host engine
-    ops/poa.py (validated against it in tests)
+  * a Pallas kernel aligns each pair with banded Needleman-Wunsch
+    (match +5 / mismatch -4 / gap -8 — spoa defaults) over a width-32
+    diagonal band, 4 pairs interleaved per 128-lane row so every VPU op
+    is fully utilized; the F matrix lives in VMEM and a deterministic
+    greedy traceback (diag > vert > horiz) runs IN-KERNEL with no inner
+    loop (the insertion-run stop cell is one ring max-reduction),
+    emitting one packed walk record per center column
+  * aligned/insertion CODES are recovered from the records by XLA
+    gathers; votes segment-sum per molecule on device; consensus
+    assembly (majority + agreement QV + gap stripping, ConsensusMsa
+    semantics — utils/ConsensusMsa.java:51-91) also runs on device, and
+    only the compacted consensus (1 byte/column: qv<<2 | base) is
+    downloaded — the round-2 engine shipped [M, Lc, 5] vote tensors over
+    a ~15 MB/s d2h tunnel and ran a 2000-step XLA scan whose per-step
+    overhead dominated (measured ~1.3 us per loop iteration; the kernel
+    unrolls ALN columns per iteration to amortize it)
+  * host decodes strings; 1/2-read molecules short-circuit like the
+    reference (Consensus.java:201-206)
 
-Shapes are bucketed (Lc to powers of two, band W static) so a handful of
-executables serve any workload.
+Shapes are bucketed (Lc to powers of two, band W static, pair count to
+powers of two) so a handful of executables serve any workload. Off-TPU
+(CPU tests / fallback) the engine runs the reference jnp formulation
+`consensus_votes` + host assembly, which the kernel is asserted equal to
+in tests/test_poa_tpu.py.
 """
 from __future__ import annotations
 
@@ -30,6 +39,8 @@ from collections import defaultdict
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from sicelore_tpu.ops import poa
 from sicelore_tpu.utils import dna
@@ -39,14 +50,19 @@ NEG = -(10**7)
 K_INS = 4
 
 
+# ---------------------------------------------------------------------------
+# jnp reference engine (CPU fallback + validation target of the kernel)
+# ---------------------------------------------------------------------------
+
 @functools.partial(jax.jit, static_argnames=("W", "M"))
 def consensus_votes(center: jax.Array, clens: jax.Array, reads: jax.Array,
                     rlens: jax.Array, mol_ids: jax.Array, W: int, M: int):
-    """Votes for one bucket.
+    """Votes for one bucket (jnp reference; the Pallas kernel path below is
+    the TPU production engine).
 
     center [P, Lc] int8 codes, clens [P] int32, reads [P, Lr] int8,
     rlens [P] int32, mol_ids [P] int32 (segment ids < M).
-    Returns (col_votes [M, Lc, 5] int32 — channels A,C,G,T,gap —
+    Returns (col_votes [M, Lc+1, 5] int32 — channels A,C,G,T,gap —
     ins_votes [M, Lc+1, K_INS, 4] int32, pair_counts [M] int32).
     Insertion column j = insertions between center pos j-1 and j
     (j=0: before the first base).
@@ -160,19 +176,441 @@ def consensus_votes(center: jax.Array, clens: jax.Array, reads: jax.Array,
     return col_votes, ins_votes, pair_counts
 
 
+# ---------------------------------------------------------------------------
+# Pallas band-align kernel (TPU production path)
+# ---------------------------------------------------------------------------
+#
+# Layout: 4 PAIRS INTERLEAVED PER 128-LANE ROW (lane = 4*band + pair_phase,
+# W = 32 or 64 by bucket), G = 8 sublane groups per tile -> 32/16 pairs per
+# step, and every [G, 128] op is a single fully-utilized VPU row. Minor
+# dims are always exactly 128, so nothing pays Mosaic's pad-to-128 tax
+# (a [.., W, PP<128] layout padded F to 16.8 MB and blew the 16 MB VMEM).
+#
+# The kernel consumes PRECOMPUTED diagonal substitution bands (subs[j] row
+# = score of center[j-1] vs read[j+b-W2-1], +5/-4/-100-invalid, built by
+# one XLA gather+compare in _prep_bands) — so neither the reads nor the
+# center ever enter the kernel; the traceback emits per-column walk
+# records and the aligned/insertion codes are extracted afterwards by XLA
+# gathers (extract_alignments). Per-pair reductions over the band are
+# circular ring max-reductions (5 lane-rolls of stride 4*2^k): the rolls
+# stay phase-aligned, so each pair reduces over exactly its own 32 lanes
+# and the result lands replicated across them — which is exactly the
+# broadcast every later op needs.
+#
+# Feasibility ("can (clen, bt) be reached inside the band without
+# consuming read chars beyond rlen?") is tracked by a parallel 0/1
+# reachability DP — equivalent to the jnp reference's score threshold:
+# there any invalid step costs -1e7, unrecoverable, while every fully-
+# valid path scores > -8*(Lc+W) > NEG//2.
+
+ALN = 16        # columns unrolled per loop iteration (a fori_loop
+                # iteration costs ~1.3 us of fixed overhead on this
+                # target) and the traceback record store batch
+GRP = 8         # sublane groups per tile
+SUB_INVALID = -100      # subs code for i out of the read range
+
+
+def w_for(Lc: int) -> int:
+    """Band width per center-length bucket: alignment drift grows ~sqrt(L)
+    (random indel imbalance), so short molecules ride the cheap 32-band
+    (4 pairs/lane-row) and longer ones the 64-band (2 pairs/lane-row) —
+    at 5% read error a +-16 band was measured to corrupt ~5% of ~1 kb
+    consensuses while +-32 matches the host engine."""
+    return 32 if Lc <= 512 else 64
+
+
+def padl_for(W: int) -> int:
+    """Top PAD of the read columns (see band_align_pallas)."""
+    return W // 2 + 1
+
+
+def pp_step(Lc: int) -> int:
+    """Pairs per lax.map step: (128 // W) lane phases * GRP groups."""
+    return (128 // w_for(Lc)) * GRP
+
+
+def _band_align_kernel(subs_ref, lens_ref, tb_ref, feas_ref, F, *,
+                       Lc: int, W: int):
+    """Banded NW forward + greedy traceback metadata for pp_step(Lc) pairs.
+
+    subs [Lc, G, 128] i8 diagonal substitution bands; lens [2, G, 128] i32
+    (row 0 rlen, row 1 clen, replicated per pair's lanes). Outputs
+    tb [Lc+ALN, G, 128] i32 — row t < Lc records column j = t+1 as
+    bstop | be<<8 | diag<<16 | vert<<17 | active<<18, rows Lc.. hold the
+    j = 0 insertion drain; each record is replicated across its pair's
+    lanes — and feas [1, G, 128] i32. Scratch: F [Lc+1, G, 128] i32.
+    """
+    W2 = W // 2
+    QP = 128 // W
+    G = GRP
+    g = jnp.int32(GAP)
+    neg = jnp.int32(NEG)
+    zero = jnp.zeros((G, 128), jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1)
+    band = lane // QP                                    # 0..W-1
+    rlen = lens_ref[0:1].reshape(G, 128) + zero
+    clen = lens_ref[1:2].reshape(G, 128) + zero
+
+    def m(c):
+        """bool -> 0/1 int32 (scalar where-branches would demand i1
+        relayouts to replicated layouts Mosaic cannot produce)."""
+        return jnp.where(c, zero + 1, zero)
+
+    def shift_band(x, sh, fill):
+        """x[band b] <- x[b - sh] within each pair's ring (sh static)."""
+        r = pltpu.roll(x, (sh * QP) % 128, axis=1)
+        if sh >= 0:
+            return jnp.where(band >= sh, r, zero + fill)
+        return jnp.where(band < W + sh, r, zero + fill)
+
+    def ring_max(x):
+        """Max over each pair's 32 band lanes, replicated back to them."""
+        sh = 1
+        while sh < W:
+            x = jnp.maximum(x, pltpu.roll(x, (sh * QP) % 128, axis=1))
+            sh *= 2
+        return x
+
+    def colmax_left(f):
+        """f[b] = max_k<=b f[k] + (b-k)*G  (center-gap run closure)."""
+        t = f - band * g
+        sh = 1
+        while sh < W:
+            t = jnp.maximum(t, shift_band(t, sh, neg))
+            sh *= 2
+        return jnp.maximum(f, t + band * g)
+
+    def prefix_or(r):
+        sh = 1
+        while sh < W:
+            r = jnp.maximum(r, shift_band(r, sh, jnp.int32(0)))
+            sh *= 2
+        return r
+
+    i0 = band - W2
+    valid0 = m(i0 >= 0) * m(i0 <= rlen)
+    F0 = valid0 * (i0 * g) + (1 - valid0) * neg
+    F[0] = F0
+
+    def fwd_blk(blk, carry):
+        f, r = carry
+        j0 = blk * ALN
+        for u in range(ALN):                             # unrolled columns
+            j = j0 + (u + 1)
+            s8 = subs_ref[j - 1].astype(jnp.int32)       # [G, 128]
+            valid = m(s8 != SUB_INVALID)
+            sc = valid * s8 + (1 - valid) * neg
+            diag = f + sc
+            up = shift_band(f, -1, neg) + g
+            fn = jnp.maximum(diag, up)
+            fn = colmax_left(fn)
+            fn = jnp.maximum(fn, neg)
+            inrange = m(j <= clen)
+            f = inrange * fn + (1 - inrange) * f
+            F[j] = f
+            # reachability DP: diag needs a valid read char, vert/horiz
+            # are unconditional band moves
+            rn = prefix_or(jnp.maximum(r * valid,
+                                       shift_band(r, -1, jnp.int32(0))))
+            r = inrange * rn + (1 - inrange) * r
+        return f, r
+
+    _, rfin = jax.lax.fori_loop(0, Lc // ALN, fwd_blk, (F0, valid0))
+
+    # ---- feasibility ----
+    bt = rlen - clen + W2
+    btc = jnp.clip(bt, 0, W - 1)
+    reached = ring_max(rfin * m(band == btc))
+    feasible = m(bt >= 0) * m(bt < W) * m(reached > 0)
+    feas_ref[0] = feasible
+
+    # ---- traceback metadata (j descending; records land in ALN-row
+    # batches so the tb stores stay sublane-aligned) ----
+    zA = jnp.zeros((ALN, G, 128), jnp.int32)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (ALN, G, 128), 0)
+
+    def tb_blk(blkr, carry):
+        b, frozen, fj = carry                            # fj = F[j]
+        blk = Lc // ALN - 1 - blkr
+        j0 = blk * ALN
+        recs = zA
+        for u in range(ALN - 1, -1, -1):
+            j = j0 + (u + 1)
+            s8 = subs_ref[j - 1].astype(jnp.int32)
+            valid = m(s8 != SUB_INVALID)
+            sub = valid * s8 + (1 - valid) * neg
+            fjm1 = F[j - 1]
+            diag_m = valid * m(fj == fjm1 + sub)
+            vert_m = ((1 - diag_m) * m(band + 1 < W)
+                      * m(fj == shift_band(fjm1, -1, neg) + g))
+            # one ring reduction finds the stop cell AND its move type:
+            # larger band dominates, move bits break nothing (b unique)
+            stop_ok = (jnp.maximum(jnp.maximum(diag_m, vert_m),
+                                   m(band == 0)) * m(band <= b))
+            cand = stop_ok * ((band << 2) | (diag_m << 1) | vert_m) \
+                - (1 - stop_ok)
+            top = ring_max(cand)
+            bstop = top >> 2
+            stop_diag = (top >> 1) & 1
+            stop_vert = top & 1
+            stuck = (1 - stop_diag) * (1 - stop_vert)
+            active = feasible * (1 - frozen) * m(j <= clen)
+            rec = (bstop | (b << 8)
+                   | ((stop_diag * active) << 16)
+                   | ((stop_vert * active) << 17)
+                   | (active << 18))
+            recs = jnp.where(ridx == u, rec + zA, recs)
+            frozen = jnp.maximum(frozen, active * stuck)
+            move = active * (1 - stuck)
+            b = b * (1 - move) + (bstop + stop_vert) * move
+            fj = fjm1
+        tb_ref[pl.ds(j0, ALN)] = recs                    # slots j0..j0+ALN-1
+        return b, frozen, fj
+
+    b, frozen, _ = jax.lax.fori_loop(
+        0, Lc // ALN, tb_blk, (btc, zero, F[Lc]))
+    # j = 0 drain: remaining insertions (read prefix before center start;
+    # the walk stops at band W2 — read position 0)
+    bstop0 = jnp.minimum(zero + W2, b)
+    active0 = feasible * (1 - frozen) * m(b > W2)
+    drain = bstop0 | (b << 8) | (active0 << 18)
+    tb_ref[pl.ds(Lc, ALN)] = jnp.broadcast_to(drain, (ALN, G, 128))
+
+
+@functools.partial(jax.jit, static_argnames=("Lc",))
+def _prep_bands(centT, clens, readsT, rlens, Lc: int):
+    """(see band_align_pallas; W/QP/PADL derive from Lc)"""
+    """Build the interleaved diagonal substitution bands + lens rows.
+
+    centT [Lc, P] i8, readsT [Lrp, P] i8 (top-padded by PADL), clens/rlens
+    [P] i32; P a multiple of pp_step(Lc). Returns (subs [Nc, Lc, G, 128] i8,
+    lens [Nc, 2, G, 128] i32) with lane = 4*band + pair_phase."""
+    Lrp, P = readsT.shape
+    W = w_for(Lc)
+    W2 = W // 2
+    QP = 128 // W
+    PADL = padl_for(W)
+    Nc = P // pp_step(Lc)
+    reads_p = jnp.transpose(readsT)                      # [P, Lrp] i8
+    cent_p = jnp.transpose(centT)                        # [P, Lc] i8
+    jj = jnp.arange(1, Lc + 1, dtype=jnp.int32)[:, None]  # [Lc, 1]
+    bb = jnp.arange(W, dtype=jnp.int32)[None, :]          # [1, W]
+    i = jj + bb - W2                                      # [Lc, W]
+    # read char for cell (column j, band b) sits at padded index
+    # (j-1) + b + 1: a sliding window = W static slices, no gather
+    rch = jnp.stack([reads_p[:, b + 1:b + 1 + Lc] for b in range(W)],
+                    axis=2)                               # [P, Lc, W] i8
+    cch = cent_p[:, :, None]
+    sc = jnp.where((cch == rch) & (cch < 4), jnp.int8(MATCH),
+                   jnp.int8(MISMATCH))
+    valid = (i[None] >= 1) & (i[None] <= rlens[:, None, None])
+    subs = jnp.where(valid, sc, jnp.int8(SUB_INVALID))    # [P, Lc, W] i8
+    # pair p = nc*PP_STEP + g*QP + q  ->  [Nc, Lc, G, lane=4b+q]
+    subs = subs.reshape(Nc, GRP, QP, Lc, W)
+    subs = jnp.transpose(subs, (0, 3, 1, 4, 2)).reshape(
+        Nc, Lc, GRP, 128)
+    lens2 = jnp.stack([rlens, clens], axis=0).reshape(
+        2, Nc, GRP, QP)[:, :, :, None, :]                 # [2, Nc, G, 1, Q]
+    lens2 = jnp.broadcast_to(lens2, (2, Nc, GRP, W, QP)).reshape(
+        2, Nc, GRP, 128)
+    return subs, jnp.transpose(lens2, (1, 0, 2, 3))
+
+
+@functools.partial(jax.jit, static_argnames=("Lc", "interpret"))
+def band_align_pallas(centT: jax.Array, clens: jax.Array, readsT: jax.Array,
+                      rlens: jax.Array, Lc: int, interpret: bool = False):
+    """Align P (center, read) pairs; P a multiple of pp_step(Lc).
+
+    Pair-on-lane layout: centT [Lc, P] i8; clens/rlens [P] i32; readsT
+    [Lrp, P] i8 where readsT[PADL:, p] holds pair p's read
+    (Lrp >= padl_for(W) + Lc + W). Returns (aligned [P, Lc+1] i32 — 0..3
+    base / 4 deletion / 5 none — ins [P, (Lc+1)*K_INS] i32,
+    feasible [P] i32)."""
+    P = centT.shape[1]
+    W = w_for(Lc)
+    QP = 128 // W
+    assert P % pp_step(Lc) == 0 and Lc % ALN == 0
+    subs, lens = _prep_bands(centT, clens, readsT, rlens, Lc)
+    kernel = functools.partial(_band_align_kernel, Lc=Lc, W=W)
+
+    def one_block(args):
+        sb, ln = args
+        return pl.pallas_call(
+            kernel,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_shape=[
+                jax.ShapeDtypeStruct((Lc + ALN, GRP, 128), jnp.int32),
+                jax.ShapeDtypeStruct((1, GRP, 128), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((Lc + 1, GRP, 128), jnp.int32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=pp_step(Lc) * Lc * W * 12, transcendentals=0,
+                bytes_accessed=Lc * GRP * 128 * 5),
+            interpret=interpret,
+        )(sb, ln)
+
+    tb4, feas4 = jax.lax.map(one_block, (subs, lens))
+    # records are replicated across each pair's lanes; lane QP*b+q with
+    # b=0 is pair phase q — slice the first QP lanes of each group
+    tb = tb4[:, :Lc + 1, :, :QP].reshape(-1, Lc + 1, pp_step(Lc))
+    tb = jnp.transpose(tb, (1, 0, 2)).reshape(Lc + 1, P)
+    feas = feas4[:, 0, :, :QP].reshape(-1, pp_step(Lc)).reshape(1, P)
+    return extract_alignments(jnp.transpose(tb), feas[0],
+                              jnp.transpose(readsT), Lc)
+
+
+@functools.partial(jax.jit, static_argnames=("Lc",))
+def extract_alignments(tb: jax.Array, feasible: jax.Array,
+                       reads_p: jax.Array, Lc: int):
+    """Unpack the kernel's per-column walk records into aligned / insertion
+    code tensors (all-column-parallel XLA gathers).
+
+    tb [P, Lc+1] i32 packed bstop | be<<8 | diag<<16 | vert<<17 |
+    active<<18; slot t < Lc records column j = t+1, slot Lc records the
+    j = 0 insertion drain. Returns (aligned [P, Lc+1] i32 — read base
+    code on diag, 4 on vert (deletion), 5 otherwise — ins
+    [P, (Lc+1)*K_INS] i32 with row j = insertions before center pos j,
+    feasible)."""
+    P, Lc1 = tb.shape
+    bstop = tb & 0xFF
+    be = (tb >> 8) & 0xFF
+    diag = (tb >> 16) & 1
+    vert = (tb >> 17) & 1
+    active = (tb >> 18) & 1
+    slot = jnp.arange(Lc1, dtype=jnp.int32)[None, :]
+    jcol = jnp.where(slot < Lc, slot + 1, 0)     # column of each record
+    rp = reads_p.astype(jnp.int32)
+
+    def rchar(lane):
+        """Read char consumed at cell (j, lane): padded index j + lane."""
+        idx = jnp.clip(jcol + lane, 0, rp.shape[1] - 1)
+        return jnp.take_along_axis(rp, idx, axis=1)
+
+    rb_stop = rchar(bstop)
+    emitted = jnp.where(diag > 0, jnp.clip(rb_stop, 0, 3),
+                        jnp.where(vert > 0, 4, 5))
+    # slot t's record describes the move INTO column t's base slot; the
+    # drain slot emits no base
+    aligned = jnp.where(slot < Lc, emitted, 5)
+    run_len = be - bstop
+    ins_slots = []
+    for o in range(K_INS):
+        lane = be - o
+        if o == K_INS - 1:
+            lane = jnp.where(run_len > K_INS, bstop + 1, lane)
+        rb_o = jnp.clip(rchar(lane), 0, 3)
+        has = (active > 0) & (o < run_len)
+        ins_slots.append(jnp.where(has, rb_o, 5))
+    ins_by_slot = jnp.stack(ins_slots, axis=2)   # [P, Lc+1, K]
+    # reorder to insertion rows: row 0 = drain (slot Lc), row j = slot j-1
+    ins = jnp.concatenate([ins_by_slot[:, Lc:], ins_by_slot[:, :Lc]],
+                          axis=1).reshape(P, Lc1 * K_INS)
+    return aligned, ins, feasible
+
+
+@functools.partial(jax.jit, static_argnames=("M", "maxps", "out_cols"))
+def votes_assemble(aligned, ins, feasible, mids, centers_mol, clen_mol,
+                   M: int, maxps: int, out_cols: int):
+    """Per-pair alignments -> per-molecule consensus, all on device.
+
+    aligned [P, Lc+1] i32 (0..3 base / 4 del / 5 none), ins
+    [P, (Lc+1)*K_INS] i32, feasible [P], mids [P] segment ids < M,
+    centers_mol [M', Lc] i8 (rows >= the real molecule count are ignored
+    by the caller), clen_mol [M'] i32 — M' rows are aligned with segment
+    ids. Returns (packed [M, out_cols] u8 — qv<<2 | base — out_len [M],
+    pair_counts [M], overflow [M] bool). Assembly semantics ==
+    BatchedConsensusEngine host _assemble == ConsensusMsa.process.
+    """
+    P, Lc1 = aligned.shape
+    Lc = Lc1 - 1
+    K = K_INS
+    ch5 = jnp.arange(5, dtype=jnp.int32)
+    # (an MXU-matmul segment-sum formulation measured ~30% slower here
+    # than XLA's scatter-add — padded segment rows outweigh the MXU win)
+    cv = jax.ops.segment_sum(
+        (aligned[:, :Lc, None] == ch5).astype(jnp.int32), mids,
+        num_segments=M)                                     # [M, Lc, 5]
+    ins3 = ins.reshape(P, Lc1, K)
+    iv = jax.ops.segment_sum(
+        (ins3[..., None] == ch5[:4]).astype(jnp.int32), mids,
+        num_segments=M)                                     # [M, Lc+1, K, 4]
+    pc = jax.ops.segment_sum(feasible.astype(jnp.int32), mids,
+                             num_segments=M)
+    R = pc + 1                                              # center votes too
+    cols = jnp.arange(Lc, dtype=jnp.int32)
+    cmask = cols[None, :] < clen_mol[:, None]               # [M, Lc]
+    conh = ((jnp.minimum(centers_mol.astype(jnp.int32), 4)[..., None] == ch5)
+            & cmask[..., None])
+    cv = cv + conh.astype(jnp.int32)
+
+    # base slots
+    bb = jnp.argmax(cv, axis=2)                             # [M, Lc]
+    bw = jnp.take_along_axis(cv, bb[..., None], axis=2)[..., 0]
+    keep_base = (bb != 4) & cmask
+    # insertion slots: argmax base wins iff votes > gap votes (R - sum)
+    ib = jnp.argmax(iv, axis=3)                             # [M, Lc+1, K]
+    ivw = jnp.take_along_axis(iv, ib[..., None], axis=3)[..., 0]
+    rmask = (jnp.arange(Lc1, dtype=jnp.int32)[None, :]
+             <= clen_mol[:, None])                          # [M, Lc+1]
+    ikeep = ((ivw > (R[:, None, None] - iv.sum(axis=3))) & (ivw > 0)
+             & rmask[..., None])
+
+    def qv_of(win, keep):
+        frac = win / jnp.maximum(R, 1)[:, None].astype(jnp.float32)
+        q = jnp.rint(-10.0 * jnp.log10(jnp.maximum(1.0 - frac, 1e-9)))
+        q = jnp.where(frac >= 1.0, maxps, jnp.minimum(q, maxps))
+        return jnp.where(keep, q, 0.0).astype(jnp.int32)
+
+    # slot layout per center row j: K insertion slots (o = K-1..0, i.e.
+    # right-justified trace order) then the base slot
+    ins_code = ib[:, :, ::-1]                               # o descending
+    ins_win = ivw[:, :, ::-1]
+    ins_keep = ikeep[:, :, ::-1]
+    base_code = jnp.concatenate(
+        [bb, jnp.zeros((M, 1), bb.dtype)], axis=1)[:, :, None]  # [M, Lc+1, 1]
+    base_win = jnp.concatenate(
+        [bw, jnp.zeros((M, 1), bw.dtype)], axis=1)[:, :, None]
+    base_keep = jnp.concatenate(
+        [keep_base, jnp.zeros((M, 1), bool)], axis=1)[:, :, None]
+    code = jnp.concatenate([ins_code, base_code], axis=2).reshape(M, -1)
+    win = jnp.concatenate([ins_win.astype(jnp.int32),
+                           base_win.astype(jnp.int32)], axis=2).reshape(M, -1)
+    keep = jnp.concatenate([ins_keep, base_keep], axis=2).reshape(M, -1)
+
+    q = qv_of(win.astype(jnp.float32), keep)
+    val = ((q.astype(jnp.uint8) << 2)
+           | jnp.minimum(code, 3).astype(jnp.uint8))
+    out_idx = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+    out_len = out_idx[:, -1] + 1
+    rows = jnp.broadcast_to(jnp.arange(M)[:, None], out_idx.shape)
+    packed = jnp.zeros((M, out_cols), jnp.uint8)
+    packed = packed.at[rows, jnp.clip(out_idx, 0, out_cols - 1)].max(
+        jnp.where(keep, val, 0))
+    overflow = out_len > out_cols
+    return packed, out_len, pc, overflow
+
+
 class BatchedConsensusEngine:
-    """Bucketed molecule batches -> device votes -> host assembly.
+    """Bucketed molecule batches -> device alignment + assembly -> strings.
 
     Call with a list of per-molecule read lists; returns [(cons, qv)] in
     order, matching ops.poa.consensus_reads dispatch (1 read -> itself,
     2 -> longest, >=3 -> MSA consensus)."""
 
     def __init__(self, maxreads: int = 20, band: int = 64,
-                 max_center_len: int = 4096, mesh=None,
+                 max_center_len: int = 2048, mesh=None,
                  data_axis: str = "data"):
         """`mesh`: a jax.sharding.Mesh — pair batches shard over
         `data_axis` and per-molecule votes psum-merge (multi-chip
-        consensus as a pipeline mode; results identical to single-chip)."""
+        consensus as a pipeline mode; results identical to single-chip).
+        `band` only affects the jnp fallback path; the Pallas kernel's
+        band derives from the center-length bucket (w_for)."""
         self.band = band
         self.maxreads = maxreads
         self.max_center_len = max_center_len
@@ -180,6 +618,12 @@ class BatchedConsensusEngine:
         self.data_axis = data_axis
         self._gran = int(mesh.shape[data_axis]) if mesh is not None else 1
         self._steps: dict = {}
+        try:
+            self._on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:
+            self._on_tpu = False
+
+    # -- jnp fallback (CPU tests / multihost CPU meshes) ------------------
 
     def _votes(self, c_arr, cl, r_arr, rl, mids, W: int, M: int):
         if self.mesh is None:
@@ -210,29 +654,41 @@ class BatchedConsensusEngine:
                     results[mi] = poa.consensus_reads(seqs, minps, maxps)
                 else:
                     buckets[max(256, 1 << (c - 1).bit_length())].append(mi)
+        if self._on_tpu and self.mesh is None:
+            self._run_pallas(molecules, buckets, results, minps, maxps)
+        else:
+            self._run_jnp(molecules, buckets, results, minps, maxps)
+        return results
+
+    def _build_bucket(self, molecules, idxs, Lc, W, left_pad=0):
+        """Pack one bucket's pair batch; returns None when no pairs."""
+        centers, clens, reads, rlens, mol_ids = [], [], [], [], []
+        info = []  # per molecule in bucket: (mi, center_seq, R)
+        for m_local, mi in enumerate(idxs):
+            seqs = molecules[mi]
+            ci = max(range(len(seqs)), key=lambda i: len(seqs[i]))
+            cseq = seqs[ci]
+            info.append((mi, cseq, len(seqs)))
+            for r, s in enumerate(seqs):
+                if r == ci:
+                    continue
+                # drop reads whose length diff exceeds the band
+                if abs(len(s) - len(cseq)) >= W // 2 - 4:
+                    continue
+                centers.append(cseq)
+                clens.append(len(cseq))
+                reads.append(s[:Lc + W])
+                rlens.append(len(s[:Lc + W]))
+                mol_ids.append(m_local)
+        return info, centers, clens, reads, rlens, mol_ids
+
+    def _run_jnp(self, molecules, buckets, results, minps, maxps):
         W = self.band
         pending = []  # (info, device handles) — all buckets dispatch before
         # any host assembly runs, so vote computation overlaps assembly
         for Lc, idxs in buckets.items():
-            # build pair batch
-            centers, clens, reads, rlens, mol_ids = [], [], [], [], []
-            info = []  # per molecule in bucket: (mi, center_seq, R)
-            for m_local, mi in enumerate(idxs):
-                seqs = molecules[mi]
-                ci = max(range(len(seqs)), key=lambda i: len(seqs[i]))
-                cseq = seqs[ci]
-                info.append((mi, cseq, len(seqs)))
-                for r, s in enumerate(seqs):
-                    if r == ci:
-                        continue
-                    # drop reads whose length diff exceeds the band
-                    if abs(len(s) - len(cseq)) >= W // 2 - 4:
-                        continue
-                    centers.append(cseq)
-                    clens.append(len(cseq))
-                    reads.append(s[:Lc + W])
-                    rlens.append(len(s[:Lc + W]))
-                    mol_ids.append(m_local)
+            built = self._build_bucket(molecules, idxs, Lc, W)
+            info, centers, clens, reads, rlens, mol_ids = built
             if not centers:
                 for mi, cseq, R in info:
                     results[mi] = poa.consensus_reads(molecules[mi], minps,
@@ -262,7 +718,69 @@ class BatchedConsensusEngine:
             for m_local, (mi, cseq, R) in enumerate(info):
                 results[mi] = self._assemble(
                     cseq, cv[m_local], iv[m_local], int(pc[m_local]), maxps)
-        return results
+
+    def _run_pallas(self, molecules, buckets, results, minps, maxps):
+        """TPU path: Pallas band-align + on-device assembly; downloads only
+        the compacted per-molecule consensus bytes."""
+        pending = []
+        for Lc, idxs in buckets.items():
+            W = w_for(Lc)
+            PADL = padl_for(W)
+            built = self._build_bucket(molecules, idxs, Lc, W)
+            info, centers, clens, reads, rlens, mol_ids = built
+            if not centers:
+                for mi, cseq, R in info:
+                    results[mi] = poa.consensus_reads(molecules[mi], minps,
+                                                      maxps)
+                continue
+            P = len(centers)
+            # Pp must cover both the pair rows and the molecule rows (the
+            # centers_mol/segment arrays share the same padded size so the
+            # compiled-shape key stays (Lc, Pp))
+            Pp = max(pp_step(Lc),
+                     1 << (max(P, len(info) + 1) - 1).bit_length())
+            Lr = Lc + W
+            Lrp = ((PADL + Lr + 127) // 128) * 128
+            # pair-on-lane layout (see band_align_pallas)
+            cT = np.full((Lc, Pp), dna.PAD, np.int8)
+            rT = np.full((Lrp, Pp), dna.PAD, np.int8)
+            cl = np.zeros(Pp, np.int32)
+            rl = np.zeros(Pp, np.int32)
+            mids = np.full(Pp, len(info), np.int32)  # overflow segment
+            cmol = np.full((Pp, Lc), dna.PAD, np.int8)
+            clm = np.zeros(Pp, np.int32)
+            for m_local, (mi, cseq, R) in enumerate(info):
+                cmol[m_local, :len(cseq)] = dna.encode(cseq)
+                clm[m_local] = len(cseq)
+            for p in range(P):
+                cT[:clens[p], p] = dna.encode(centers[p])
+                rT[PADL:PADL + rlens[p], p] = dna.encode(reads[p])
+                cl[p], rl[p], mids[p] = clens[p], rlens[p], mol_ids[p]
+            out_cols = Lc + Lc // 8 + 16
+            aligned, ins, feas = band_align_pallas(
+                jnp.asarray(cT), jnp.asarray(cl), jnp.asarray(rT),
+                jnp.asarray(rl), Lc)
+            packed, out_len, pc, overflow = votes_assemble(
+                aligned, ins, feas, jnp.asarray(mids), jnp.asarray(cmol),
+                jnp.asarray(clm), Pp, maxps, out_cols)
+            n = len(info)
+            pending.append((info, packed[:n], out_len[:n], overflow[:n]))
+        for info, packed, out_len, overflow in pending:
+            packed = np.asarray(packed)
+            out_len = np.asarray(out_len)
+            overflow = np.asarray(overflow)
+            codes_all = packed & 3
+            qs_all = (packed >> 2) + 33
+            acgt = np.frombuffer(b"ACGT", np.uint8)
+            for m_local, (mi, cseq, R) in enumerate(info):
+                if overflow[m_local]:
+                    results[mi] = poa.consensus_reads(molecules[mi], minps,
+                                                      maxps)
+                    continue
+                n = int(out_len[m_local])
+                cons = acgt[codes_all[m_local, :n]].tobytes()
+                qv = qs_all[m_local, :n].astype(np.uint8).tobytes()
+                results[mi] = (cons, qv)
 
     @staticmethod
     def _assemble(center: bytes, col_votes, ins_votes, n_pairs, maxps):
@@ -272,9 +790,7 @@ class BatchedConsensusEngine:
         without an insertion vote gap in insertion columns). Emission
         order per center position j: insertion columns (offset o
         descending — right-justified trace order), then base column j;
-        majority-deletion columns are dropped (gap stripped). The
-        per-column Python loop this replaces was ~half the engine's
-        wall-clock at WTA batch sizes."""
+        majority-deletion columns are dropped (gap stripped)."""
         lc = len(center)
         R = n_pairs + 1
         ccodes = np.minimum(dna.encode(center), 4).astype(np.int64)
