@@ -14,7 +14,10 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <algorithm>
 #include <cstdint>
+#include <cstdio>
+#include <string>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -248,12 +251,342 @@ PyObject *py_encode_batch(PyObject *, PyObject *args) {
   return r;
 }
 
+
+// ---------------------------------------------------------------------------
+// emit_records — batch pass-2 fastq record assembly (the per-read Python
+// emit loop was ~25% of warm pass-2 wall-clock).  Reproduces
+// pipeline/readname.encode_name byte-for-byte (reference read-name
+// metadata contract, /root/reference/README.md:396-459).
+// ---------------------------------------------------------------------------
+
+uint8_t RC[256];
+struct RcInit {
+  RcInit() {
+    for (int i = 0; i < 256; i++) RC[i] = (uint8_t)i;
+    const char *a = "ACGTacgt", *b = "TGCAtgca";
+    for (int i = 0; i < 8; i++) RC[(uint8_t)a[i]] = (uint8_t)b[i];
+  }
+} rc_init;
+
+struct Bufs {
+  std::string passed, failed;
+};
+
+inline void append_int(std::string &o, long v) {
+  char tmp[24];
+  int n = snprintf(tmp, sizeof tmp, "%ld", v);
+  o.append(tmp, n);
+}
+
+// emit_records(names, comments, seqs, quals: list[bytes],
+//   flags u8[B] (bit0 keep, bit1 assigned, bit2 is_fwd),
+//   ps, pe, ae, tso, ed, ed2, bc_start, bc_end, rank, x_start, x_end: i32[B],
+//   x_qv: f32[B], bc_idx: i32[B], bc_blob: bytes (n_bc * bc_len chars),
+//   bc_len: int) -> (passed: bytes, failed: bytes)
+PyObject *py_emit_records(PyObject *, PyObject *args) {
+  PyObject *names, *comments, *seqs, *quals;
+  Py_buffer flags, ps, pe, ae, tso, ed, ed2, bcs, bce, rank, xs, xe, xqv,
+      bcidx, bcblob;
+  int bc_len;
+  if (!PyArg_ParseTuple(args, "OOOOy*y*y*y*y*y*y*y*y*y*y*y*y*y*y*i",
+                        &names, &comments, &seqs, &quals, &flags, &ps, &pe,
+                        &ae, &tso, &ed, &ed2, &bcs, &bce, &rank, &xs, &xe,
+                        &xqv, &bcidx, &bcblob, &bc_len))
+    return nullptr;
+  Py_ssize_t B = PyList_GET_SIZE(names);
+  const uint8_t *fl = (const uint8_t *)flags.buf;
+  const int32_t *psv = (const int32_t *)ps.buf;
+  const int32_t *pev = (const int32_t *)pe.buf;
+  const int32_t *aev = (const int32_t *)ae.buf;
+  const int32_t *tsov = (const int32_t *)tso.buf;
+  const int32_t *edv = (const int32_t *)ed.buf;
+  const int32_t *ed2v = (const int32_t *)ed2.buf;
+  const int32_t *bcsv = (const int32_t *)bcs.buf;
+  const int32_t *bcev = (const int32_t *)bce.buf;
+  const int32_t *rkv = (const int32_t *)rank.buf;
+  const int32_t *xsv = (const int32_t *)xs.buf;
+  const int32_t *xev = (const int32_t *)xe.buf;
+  const float *qvv = (const float *)xqv.buf;
+  const int32_t *biv = (const int32_t *)bcidx.buf;
+  const char *blob = (const char *)bcblob.buf;
+  Py_ssize_t n_bc = bc_len > 0 ? bcblob.len / bc_len : 0;
+
+  int nt = nthreads_for(B);
+  std::vector<Bufs> bufs(nt > 0 ? nt : 1);
+  std::vector<Span> nmv(B), cmv(B), sqv(B), qlv(B);
+  for (Py_ssize_t i = 0; i < B; i++) {
+    PyObject *nm = PyList_GET_ITEM(names, i);
+    PyObject *cm = PyList_GET_ITEM(comments, i);
+    PyObject *sq = PyList_GET_ITEM(seqs, i);
+    PyObject *ql = PyList_GET_ITEM(quals, i);
+    nmv[i] = {(const uint8_t *)PyBytes_AS_STRING(nm), PyBytes_GET_SIZE(nm)};
+    cmv[i] = {(const uint8_t *)PyBytes_AS_STRING(cm), PyBytes_GET_SIZE(cm)};
+    sqv[i] = {(const uint8_t *)PyBytes_AS_STRING(sq), PyBytes_GET_SIZE(sq)};
+    qlv[i] = {(const uint8_t *)PyBytes_AS_STRING(ql), PyBytes_GET_SIZE(ql)};
+  }
+
+  Py_BEGIN_ALLOW_THREADS
+  Py_ssize_t step = (B + nt - 1) / nt;
+  auto work = [&](int ti, Py_ssize_t lo, Py_ssize_t hi) {
+    std::string &pb = bufs[ti].passed;
+    std::string &fb = bufs[ti].failed;
+    std::string sseq, squal;
+    for (Py_ssize_t i = lo; i < hi; i++) {
+      if (!(fl[i] & 1)) continue;  // skipped (chimera discard/split)
+      const char *nmp = (const char *)nmv[i].p;
+      Py_ssize_t nml = nmv[i].n;
+      const char *cmp = (const char *)cmv[i].p;
+      Py_ssize_t cml = cmv[i].n;
+      const char *sp = (const char *)sqv[i].p;
+      Py_ssize_t sl = sqv[i].n;
+      const char *qp = (const char *)qlv[i].p;
+      Py_ssize_t qlen = qlv[i].n;
+      if (!(fl[i] & 2)) {  // unassigned -> failed, original orientation
+        fb.push_back('@');
+        fb.append(nmp, nml);
+        if (cml) { fb.push_back(' '); fb.append(cmp, cml); }
+        fb.push_back('\n');
+        fb.append(sp, sl);
+        fb.append("\n+\n", 3);
+        fb.append(qp, qlen);
+        fb.push_back('\n');
+        continue;
+      }
+      bool fwd = (fl[i] & 4) != 0;
+      if (fwd) {
+        sseq.assign(sp, sl);
+        squal.assign(qp, qlen);
+      } else {
+        sseq.resize(sl);
+        for (Py_ssize_t k = 0; k < sl; k++)
+          sseq[k] = (char)RC[(uint8_t)sp[sl - 1 - k]];
+        squal.assign(qp, qlen);
+        std::reverse(squal.begin(), squal.end());
+      }
+      // name with scan metadata (readname.encode_name contract)
+      pb.push_back('@');
+      pb.append(nmp, nml);
+      pb.append(fwd ? "_FWD" : "_REV", 4);
+      pb.append("_PS=", 4); append_int(pb, psv[i]);
+      pb.append("_PE=", 4); append_int(pb, pev[i]);
+      pb.append("_AE=", 4); append_int(pb, aev[i]);
+      if (tsov[i] >= 0) { pb.append("_T=", 3); append_int(pb, tsov[i]); }
+      pb.append("_bc=", 4);
+      long bi = biv[i];
+      if (bi >= 0 && bi < n_bc) pb.append(blob + bi * bc_len, bc_len);
+      pb.append("_ed=", 4); append_int(pb, edv[i]);
+      pb.append("_ed_sec=", 8); append_int(pb, ed2v[i]);
+      pb.append("_bcStart=", 9); append_int(pb, bcsv[i]);
+      pb.append("_bcEnd=", 7); append_int(pb, bcev[i]);
+      pb.append("_rk=", 4); append_int(pb, rkv[i]);
+      pb.append("_X=", 3);
+      long x0 = xsv[i] > 0 ? xsv[i] : 0;
+      long x1 = (long)xev[i] + 1;
+      if (x1 > (long)sseq.size()) x1 = sseq.size();
+      if (x1 > x0) pb.append(sseq.data() + x0, x1 - x0);
+      {
+        char tmp[32];
+        int nq = snprintf(tmp, sizeof tmp, "_Q=%.1f", (double)qvv[i]);
+        pb.append(tmp, nq);
+      }
+      if (cml) { pb.push_back(' '); pb.append(cmp, cml); }
+      pb.push_back('\n');
+      pb.append(sseq);
+      pb.append("\n+\n", 3);
+      pb.append(squal);
+      pb.push_back('\n');
+    }
+  };
+  if (nt <= 1) {
+    work(0, 0, B);
+  } else {
+    std::vector<std::thread> th;
+    for (int t = 0; t < nt; t++) {
+      Py_ssize_t lo = t * step, hi = lo + step < B ? lo + step : B;
+      if (lo < hi) th.emplace_back(work, t, lo, hi);
+    }
+    for (auto &t : th) t.join();
+  }
+  Py_END_ALLOW_THREADS
+
+
+  size_t pn = 0, fn = 0;
+  for (auto &b : bufs) { pn += b.passed.size(); fn += b.failed.size(); }
+  PyObject *po = PyBytes_FromStringAndSize(nullptr, pn);
+  PyObject *fo = PyBytes_FromStringAndSize(nullptr, fn);
+  if (!po || !fo) { Py_XDECREF(po); Py_XDECREF(fo); goto rel; }
+  {
+    char *pd = PyBytes_AS_STRING(po);
+    char *fd = PyBytes_AS_STRING(fo);
+    for (auto &b : bufs) {
+      memcpy(pd, b.passed.data(), b.passed.size()); pd += b.passed.size();
+      memcpy(fd, b.failed.data(), b.failed.size()); fd += b.failed.size();
+    }
+  }
+  {
+    PyObject *r = PyTuple_Pack(2, po, fo);
+    Py_DECREF(po); Py_DECREF(fo);
+    PyBuffer_Release(&flags); PyBuffer_Release(&ps); PyBuffer_Release(&pe);
+    PyBuffer_Release(&ae); PyBuffer_Release(&tso); PyBuffer_Release(&ed);
+    PyBuffer_Release(&ed2); PyBuffer_Release(&bcs); PyBuffer_Release(&bce);
+    PyBuffer_Release(&rank); PyBuffer_Release(&xs); PyBuffer_Release(&xe);
+    PyBuffer_Release(&xqv); PyBuffer_Release(&bcidx);
+    PyBuffer_Release(&bcblob);
+    return r;
+  }
+rel:
+  PyBuffer_Release(&flags); PyBuffer_Release(&ps); PyBuffer_Release(&pe);
+  PyBuffer_Release(&ae); PyBuffer_Release(&tso); PyBuffer_Release(&ed);
+  PyBuffer_Release(&ed2); PyBuffer_Release(&bcs); PyBuffer_Release(&bce);
+  PyBuffer_Release(&rank); PyBuffer_Release(&xs); PyBuffer_Release(&xe);
+  PyBuffer_Release(&xqv); PyBuffer_Release(&bcidx);
+  PyBuffer_Release(&bcblob);
+  return nullptr;
+}
+
+
+// ---------------------------------------------------------------------------
+// encode_tiles — internal/chimera-scan tile construction: slice read
+// interiors into TILE-base tiles, 2-bases-per-byte nibble codes + meta,
+// in one multithreaded pass (the numpy slice+encode+pack path was ~45%
+// of warm pass-2 wall-clock).  Layout must match
+// models/readscan.build_tiles: rows [T, TILE/2 + 16] u8 with meta
+// (own_lo u16, own_hi u16, tlen u16, pad2, g0 u32, rlen u32).
+// ---------------------------------------------------------------------------
+
+// encode_tiles(seqs: list[bytes], edge, k, tile, ctx: int) ->
+//   (rows, read_idx i32, g0s i32) raw buffers
+PyObject *py_encode_tiles(PyObject *, PyObject *args) {
+  PyObject *seqs;
+  int edge, k, tile, ctx;
+  if (!PyArg_ParseTuple(args, "Oiiii", &seqs, &edge, &k, &tile, &ctx))
+    return nullptr;
+  if (!PyList_Check(seqs)) {
+    PyErr_SetString(PyExc_TypeError, "seqs must be a list of bytes");
+    return nullptr;
+  }
+  const int stride = tile - 2 * ctx;
+  const long min_len = 2L * edge + k;
+  Py_ssize_t B = PyList_GET_SIZE(seqs);
+  std::vector<Span> sp(B);
+  for (Py_ssize_t i = 0; i < B; i++) {
+    PyObject *o = PyList_GET_ITEM(seqs, i);
+    if (!PyBytes_Check(o)) {
+      PyErr_SetString(PyExc_TypeError, "expected bytes elements");
+      return nullptr;
+    }
+    sp[i] = {(const uint8_t *)PyBytes_AS_STRING(o), PyBytes_GET_SIZE(o)};
+  }
+  // pass 1: tile counts + per-read first-tile offsets
+  std::vector<int64_t> off(B + 1, 0);
+  for (Py_ssize_t i = 0; i < B; i++) {
+    long L = (long)sp[i].n;
+    long cnt = 0;
+    if (L > min_len) {
+      long lo_g = edge, hi_g = L - edge - k + 1;
+      if (hi_g > lo_g) {
+        for (long t = 0;; t++) {
+          long own_start = t == 0 ? 0 : t * (long)stride + ctx;
+          if (own_start >= hi_g) break;
+          long own_end = ctx + (t + 1) * (long)stride;
+          long ol = own_start > lo_g ? own_start : lo_g;
+          long oh = own_end < hi_g ? own_end : hi_g;
+          if (ol < oh) cnt++;
+        }
+      }
+    }
+    off[i + 1] = off[i] + cnt;
+  }
+  const int64_t T = off[B];
+  const int rowb = tile / 2 + 16;
+  PyObject *rows_o = PyByteArray_FromStringAndSize(nullptr, T * rowb);
+  PyObject *ri_o = PyByteArray_FromStringAndSize(nullptr, T * 4);
+  PyObject *g0_o = PyByteArray_FromStringAndSize(nullptr, T * 4);
+  if (!rows_o || !ri_o || !g0_o) {
+    Py_XDECREF(rows_o); Py_XDECREF(ri_o); Py_XDECREF(g0_o);
+    return nullptr;
+  }
+  uint8_t *rows = (uint8_t *)PyByteArray_AS_STRING(rows_o);
+  int32_t *ri = (int32_t *)PyByteArray_AS_STRING(ri_o);
+  int32_t *g0s = (int32_t *)PyByteArray_AS_STRING(g0_o);
+
+  Py_BEGIN_ALLOW_THREADS
+  int nt = nthreads_for(B);
+  std::vector<std::thread> th;
+  Py_ssize_t step = (B + nt - 1) / nt;
+  auto work = [&](Py_ssize_t lo, Py_ssize_t hi) {
+    for (Py_ssize_t i = lo; i < hi; i++) {
+      long L = (long)sp[i].n;
+      if (off[i] == off[i + 1]) continue;
+      long lo_g = edge, hi_g = L - edge - k + 1;
+      int64_t w = off[i];
+      for (long t = 0;; t++) {
+        long own_start = t == 0 ? 0 : t * (long)stride + ctx;
+        if (own_start >= hi_g) break;
+        long own_end = ctx + (t + 1) * (long)stride;
+        long ol = own_start > lo_g ? own_start : lo_g;
+        long oh = own_end < hi_g ? own_end : hi_g;
+        if (ol >= oh) continue;
+        long g0 = t * (long)stride;
+        long tlen = L - g0 < tile ? L - g0 : tile;
+        uint8_t *row = rows + w * rowb;
+        const uint8_t *src = sp[i].p + g0;
+        // nibble codes, PAD (5) beyond tlen; N -> 4
+        long j = 0;
+        for (; j + 1 < tlen; j += 2) {
+          uint8_t a = ENC[src[j]], b = ENC[src[j + 1]];
+          a = a == 0xFF ? 4 : a;
+          b = b == 0xFF ? 4 : b;
+          row[j >> 1] = (uint8_t)((a << 4) | b);
+        }
+        if (j < tlen) {
+          uint8_t a = ENC[src[j]];
+          a = a == 0xFF ? 4 : a;
+          row[j >> 1] = (uint8_t)((a << 4) | 5);
+          j += 2;
+        }
+        for (; j < tile; j += 2) row[j >> 1] = 0x55;  // PAD|PAD
+        uint8_t *mv = row + tile / 2;
+        long own_lo = ol - g0, own_hi = oh - g0;
+        mv[0] = own_lo & 0xFF; mv[1] = (own_lo >> 8) & 0xFF;
+        mv[2] = own_hi & 0xFF; mv[3] = (own_hi >> 8) & 0xFF;
+        mv[4] = tlen & 0xFF;  mv[5] = (tlen >> 8) & 0xFF;
+        mv[6] = 0; mv[7] = 0;
+        uint32_t g32 = (uint32_t)g0, r32 = (uint32_t)L;
+        memcpy(mv + 8, &g32, 4);
+        memcpy(mv + 12, &r32, 4);
+        ri[w] = (int32_t)i;
+        g0s[w] = (int32_t)g0;
+        w++;
+      }
+    }
+  };
+  if (nt <= 1) {
+    work(0, B);
+  } else {
+    for (int t = 0; t < nt; t++) {
+      Py_ssize_t lo = t * step, hi = lo + step < B ? lo + step : B;
+      if (lo < hi) th.emplace_back(work, lo, hi);
+    }
+    for (auto &t : th) t.join();
+  }
+  Py_END_ALLOW_THREADS
+
+  PyObject *r = PyTuple_Pack(3, rows_o, ri_o, g0_o);
+  Py_DECREF(rows_o); Py_DECREF(ri_o); Py_DECREF(g0_o);
+  return r;
+}
+
 PyMethodDef methods[] = {
     {"encode_composite_2bit", py_encode_composite_2bit, METH_VARARGS,
      "fastq chunk -> (packed 2-bit composite, qv, comp_lens, true_lens, "
      "dirty, qsum) raw-bytes buffers"},
     {"encode_batch", py_encode_batch, METH_VARARGS,
      "list[bytes] -> ([B, L] int8 code matrix, lens int32) raw buffers"},
+    {"encode_tiles", py_encode_tiles, METH_VARARGS,
+     "internal-scan tile rows (nibble codes + meta) from a read list"},
+    {"emit_records", py_emit_records, METH_VARARGS,
+     "batch pass-2 fastq record assembly -> (passed, failed) bytes"},
     {nullptr, nullptr, 0, nullptr}};
 
 struct PyModuleDef moddef = {PyModuleDef_HEAD_INIT, "sicelore_hostenc",

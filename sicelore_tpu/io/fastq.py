@@ -49,33 +49,72 @@ def _open(path: str | Path, mode: str = "rb"):
 
 
 def read_fastq(path: str | Path, chunk_size: int = 50_000) -> Iterator[FastqChunk]:
-    """Stream one fastq file in chunks of `chunk_size` reads."""
+    """Stream one fastq file in chunks of `chunk_size` reads.
+
+    Block-based parser: reads 8 MB blocks and splits lines in bulk — the
+    readline-per-line loop it replaces was ~9% of warm pass-2 wall-clock.
+    """
     names, comments, seqs, quals = [], [], [], []
+    pend: list[bytes] = []  # parsed lines not yet grouped into records
     with _open(path) as fh:
+        rem = b""
         while True:
-            header = fh.readline()
-            if not header:
+            data = fh.read(8 << 20)
+            if not data:
                 break
-            seq = fh.readline().rstrip(b"\r\n")
-            plus = fh.readline()
-            qual = fh.readline().rstrip(b"\r\n")
-            if not qual and not seq:
-                break
-            header = header.rstrip(b"\r\n")
-            if not header.startswith(b"@"):
-                raise ValueError(f"malformed fastq header in {path}: {header[:60]!r}")
-            sp = header.find(b" ")
-            if sp == -1:
-                name, comment = header[1:], b""
-            else:
-                name, comment = header[1:sp], header[sp + 1:]
-            names.append(name)
-            comments.append(comment)
-            seqs.append(seq)
-            quals.append(qual)
-            if len(names) >= chunk_size:
-                yield FastqChunk(names, comments, seqs, quals)
-                names, comments, seqs, quals = [], [], [], []
+            data = rem + data
+            lines = data.split(b"\n")
+            rem = lines.pop()  # partial trailing line (or b"")
+            pend.extend(lines)
+            n_rec = len(pend) // 4
+            for ri in range(n_rec):
+                header = pend[4 * ri]
+                seq = pend[4 * ri + 1]
+                qual = pend[4 * ri + 3]
+                if header.endswith(b"\r"):
+                    header = header[:-1]
+                if seq.endswith(b"\r"):
+                    seq = seq[:-1]
+                if qual.endswith(b"\r"):
+                    qual = qual[:-1]
+                if not header.startswith(b"@"):
+                    raise ValueError(
+                        f"malformed fastq header in {path}: {header[:60]!r}")
+                sp = header.find(b" ")
+                if sp == -1:
+                    name, comment = header[1:], b""
+                else:
+                    name, comment = header[1:sp], header[sp + 1:]
+                names.append(name)
+                comments.append(comment)
+                seqs.append(seq)
+                quals.append(qual)
+                if len(names) >= chunk_size:
+                    yield FastqChunk(names, comments, seqs, quals)
+                    names, comments, seqs, quals = [], [], [], []
+            del pend[:4 * n_rec]
+        # trailing lines (file not ending in newline / partial record)
+        if rem:
+            pend.append(rem)
+        while pend and not pend[-1]:
+            pend.pop()
+        if pend:
+            header = pend[0].rstrip(b"\r")
+            seq = pend[1].rstrip(b"\r") if len(pend) > 1 else b""
+            qual = pend[3].rstrip(b"\r") if len(pend) > 3 else b""
+            if qual or seq:
+                if not header.startswith(b"@"):
+                    raise ValueError(
+                        f"malformed fastq header in {path}: {header[:60]!r}")
+                sp = header.find(b" ")
+                if sp == -1:
+                    name, comment = header[1:], b""
+                else:
+                    name, comment = header[1:sp], header[sp + 1:]
+                names.append(name)
+                comments.append(comment)
+                seqs.append(seq)
+                quals.append(qual)
     if names:
         yield FastqChunk(names, comments, seqs, quals)
 
@@ -94,14 +133,31 @@ def read_fastq_dirs(paths: list[str | Path], chunk_size: int = 50_000,
         yield from read_fastq(f, chunk_size)
 
 
+_write_pool = None
+
+
+def _writer_pool():
+    """One shared background writer thread: file writes leave the pipeline's
+    critical path (the reference's FastqWriterThreadPool role); a single
+    thread preserves per-writer record order."""
+    global _write_pool
+    if _write_pool is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _write_pool = ThreadPoolExecutor(max_workers=1,
+                                         thread_name_prefix="fastq-write")
+    return _write_pool
+
+
 class FastqWriter:
-    """Buffered fastq writer (optionally gzip)."""
+    """Buffered fastq writer (optionally gzip); writes happen on the shared
+    background writer thread."""
 
     def __init__(self, path: str | Path):
         self.path = Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self._fh = _open(self.path, "wb")
         self._buf: list[bytes] = []
+        self._futs: list = []
 
     def write(self, name: bytes, seq: bytes, qual: bytes, comment: bytes = b""):
         header = b"@" + name + ((b" " + comment) if comment else b"")
@@ -109,20 +165,49 @@ class FastqWriter:
         if len(self._buf) >= 4096:
             self.flush()
 
+    def write_raw(self, records: bytes):
+        """Append pre-assembled fastq records (native batch emitter)."""
+        if records:
+            self._buf.append(records)
+            self.flush()
+
+    def _submit(self, data: bytes):
+        self._futs.append(_writer_pool().submit(self._fh.write, data))
+        if len(self._futs) > 8:  # backpressure: bound queued bytes
+            self._futs.pop(0).result()
+
     def flush(self):
         if self._buf:
-            self._fh.write(b"".join(self._buf))
+            self._submit(b"".join(self._buf))
             self._buf.clear()
 
-    def close(self):
+    def close(self, wait: bool = True):
+        """Flush and close. With wait=False the close itself rides the
+        writer thread (FIFO, so it lands after this writer's records) and
+        the caller must eventually call writer_barrier() — the pipeline
+        closes per-file writers async so disk writes overlap the next
+        file's compute."""
         self.flush()
-        self._fh.close()
+        if wait:
+            for f in self._futs:
+                f.result()
+            self._futs.clear()
+            self._fh.close()
+        else:
+            _writer_pool().submit(self._fh.close)
+            self._futs.clear()
 
     def __enter__(self):
         return self
 
     def __exit__(self, *exc):
         self.close()
+
+
+def writer_barrier():
+    """Block until every queued background write/close has completed."""
+    if _write_pool is not None:
+        _write_pool.submit(lambda: None).result()
 
 
 def load_fastq_dict(directory: str | Path) -> dict[bytes, tuple[bytes, bytes]]:

@@ -284,22 +284,28 @@ EDGE_META_KEYS = (
     "is_fwd", "stranded", "has_polyat", "ps", "pe", "ae", "adapter_ed",
     "adapter_complete_ed", "adapter_run", "tso_end", "tso_ed",
     "x_start", "x_end")
+# d2h through the tunnel streams at ~15 MB/s, so the hot paths download
+# only the rows their host side consumes:
+P2_META_KEYS = ("is_fwd", "stranded", "ps", "pe", "ae", "tso_end",
+                "x_start", "x_end")          # fused pass-2 emit set
+P1_META_KEYS = ("is_fwd", "stranded", "ae", "adapter_run")  # pass-1 filter
 _BOOL_KEYS = {"is_fwd", "stranded", "has_polyat"}
 I16_BIG = 32000
 
 
-def _pack_meta(out: dict) -> jax.Array:
+def _pack_meta(out: dict, keys=EDGE_META_KEYS) -> jax.Array:
     rows = [jnp.clip(out[k].astype(jnp.int32), -I16_BIG, I16_BIG)
-            .astype(jnp.int16) for k in EDGE_META_KEYS]
+            .astype(jnp.int16) for k in keys]
     return jnp.stack(rows, axis=0)
 
 
 def _pass1_rows(cfg: PipelineConfig, out: dict) -> jax.Array:
-    """Meta rows + (kmer_lo, kmer_hi, kmer_valid) where kmer = 2-bit packed
-    exact barcode window (uint32 = lo | hi << 16), valid iff all A/C/G/T."""
+    """Pass-1 meta rows + (kmer_lo, kmer_hi, kmer_valid) where kmer =
+    2-bit packed exact barcode window (uint32 = lo | hi << 16), valid iff
+    all A/C/G/T."""
     bc_len = cfg.barcodes.cell_bc_length
     pad = cfg.readscanner.test_plus_minus_pos
-    meta = _pack_meta(out)
+    meta = _pack_meta(out, P1_META_KEYS)
     codes = out["bc_windows"][:, pad:pad + bc_len].astype(jnp.uint32)
     valid = jnp.all(codes < 4, axis=1)
     kmer = jnp.zeros(codes.shape[0], jnp.uint32)
@@ -394,16 +400,17 @@ def make_edge_scan_packed_fn(cfg: PipelineConfig):
     return packed
 
 
-def unpack_edge_meta(meta: np.ndarray) -> dict:
+def unpack_edge_meta(meta: np.ndarray, keys=EDGE_META_KEYS) -> dict:
     """Host-side inverse of _pack_meta (adds nothing qual-derived)."""
     out = {}
-    for r, k in enumerate(EDGE_META_KEYS):
+    for r, k in enumerate(keys):
         v = meta[r].astype(np.int32)
         if k in _BOOL_KEYS:
             v = v.astype(bool)
         out[k] = v
-    out["adapter_ed"] = np.where(out["adapter_ed"] >= I16_BIG, BIG,
-                                 out["adapter_ed"])
+    if "adapter_ed" in out:
+        out["adapter_ed"] = np.where(out["adapter_ed"] >= I16_BIG, BIG,
+                                     out["adapter_ed"])
     return out
 
 
@@ -426,6 +433,7 @@ def compute_qvs_np(qv: np.ndarray, lens: np.ndarray, out: dict,
     is_fwd = out["is_fwd"]
     ae = out["ae"]
     rows = np.arange(B)[:, None]
+    want_x = "x_start" in out
 
     def window_mean(s_str, e_str):
         s = np.where(is_fwd, s_str, lens - 1 - e_str)
@@ -439,7 +447,8 @@ def compute_qvs_np(qv: np.ndarray, lens: np.ndarray, out: dict,
         w = qv[rows, np.minimum(cols, L - 1)].astype(np.int32)
         return ((w * m).sum(axis=1) / n).astype(np.float32)
 
-    out["x_qv"] = window_mean(out["x_start"], out["x_end"])
+    if want_x:
+        out["x_qv"] = window_mean(out["x_start"], out["x_end"])
     if is5p:  # BC right AFTER the adapter end in 5' chemistry
         out["bc_qv"] = window_mean(ae + 1, ae + bc_len)
     else:
@@ -492,6 +501,211 @@ def make_internal_scan_fn(cfg: PipelineConfig, max_sites: int = 4):
             nT[None, :], sT.T, t_ed.T, t_split.T], axis=0)
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Tiled internal/chimera scan (pass-2 hot path)
+# ---------------------------------------------------------------------------
+#
+# The bucketed full-length scan_internal above re-encodes every long read at
+# its full padded length and round-trips the device synchronously per length
+# bucket — measured ~70% of warm pass-2 wall-clock. The pipeline instead
+# cuts read INTERIORS into fixed [TILE]-base tiles with enough context on
+# both sides for the confirm windows, so the whole chunk is one fixed-shape
+# async dispatch regardless of the read-length distribution.
+#
+# Semantics vs scan_internal (reference ChimeraFindernew): detection marks
+# polyA/T RUN STARTS (first passing window of each maximal passing stretch)
+# instead of greedy 2k-spaced windows — a long homopolymer run yields one
+# candidate instead of several duplicates whose identical split positions
+# the old path double-counted into spurious MULTI_CHIMERIC discards; exact
+# duplicate split positions are deduplicated. A run crossing a tile
+# ownership boundary may surface in both tiles; those duplicates collapse
+# the same way (their confirmed split position is identical).
+
+TILE = 1024         # bases per internal-scan tile
+TILE_CTX = 192      # ownership context: >= confirm window (160) + run slack
+TILE_STRIDE = TILE - 2 * TILE_CTX
+TILE_META = 16      # appended meta bytes per tile row
+K_TILE_SITES = 3    # captured run starts per direction per tile
+WI_CONFIRM = 160    # confirm window length (polyA run + UMI + BC + adapter)
+
+
+def build_tiles(seqs: list[bytes], cfg: PipelineConfig):
+    """Cut long-read interiors into TILE-base tiles.
+
+    Returns (rows [T, TILE/2 + TILE_META] uint8 — nibble codes plus meta
+    (own_lo u16, own_hi u16, tlen u16, pad, g0 u32, rlen u32) — read_idx
+    [T] int32, g0s [T] int32); T == 0 when no read qualifies."""
+    from sicelore_tpu.io import native as _native
+
+    p = cfg.polyat
+    edge = p.window_search_for_polya
+    k = p.internal_pat_length
+    ext = _native.get_hostenc()
+    if ext is not None and hasattr(ext, "encode_tiles"):
+        rows_b, ri_b, g0_b = ext.encode_tiles(seqs, edge, k, TILE, TILE_CTX)
+        rows = np.frombuffer(rows_b, np.uint8).reshape(
+            -1, TILE // 2 + TILE_META)
+        return (rows, np.frombuffer(ri_b, np.int32),
+                np.frombuffer(g0_b, np.int32))
+    min_len = 2 * edge + k
+    tiles: list[bytes] = []
+    read_idx: list[int] = []
+    meta: list[tuple] = []
+    for i, sq in enumerate(seqs):
+        L = len(sq)
+        if L <= min_len:
+            continue
+        lo_g, hi_g = edge, L - edge - k + 1
+        if hi_g <= lo_g:
+            continue
+        t = 0
+        while True:
+            own_start = 0 if t == 0 else t * TILE_STRIDE + TILE_CTX
+            if own_start >= hi_g:
+                break
+            g0 = t * TILE_STRIDE
+            own_end = TILE_CTX + (t + 1) * TILE_STRIDE
+            ol, oh = max(own_start, lo_g), min(own_end, hi_g)
+            if ol < oh:
+                tiles.append(sq[g0:g0 + TILE])
+                read_idx.append(i)
+                meta.append((ol - g0, oh - g0, min(TILE, L - g0), g0, L))
+            t += 1
+    T = len(tiles)
+    if T == 0:
+        return (np.zeros((0, TILE // 2 + TILE_META), np.uint8),
+                np.zeros(0, np.int32), np.zeros(0, np.int32))
+    ext = _native.get_hostenc()
+    if ext is not None:
+        codes_b, _ = ext.encode_batch(tiles, TILE, int(dna.PAD))
+        codes = np.frombuffer(codes_b, np.int8).reshape(T, TILE)
+    else:
+        codes, _ = dna.encode_batch(tiles, TILE)
+    rows = np.zeros((T, TILE // 2 + TILE_META), np.uint8)
+    rows[:, :TILE // 2] = pack_nibbles_np(codes)
+    ma = np.asarray(meta, np.int64)
+    mv = rows[:, TILE // 2:]
+    mv[:, 0] = ma[:, 0] & 0xFF
+    mv[:, 1] = ma[:, 0] >> 8
+    mv[:, 2] = ma[:, 1] & 0xFF
+    mv[:, 3] = ma[:, 1] >> 8
+    mv[:, 4] = ma[:, 2] & 0xFF
+    mv[:, 5] = ma[:, 2] >> 8
+    mv[:, 8:12] = (ma[:, 3].astype("<u4").view(np.uint8).reshape(-1, 4))
+    mv[:, 12:16] = (ma[:, 4].astype("<u4").view(np.uint8).reshape(-1, 4))
+    return rows, np.asarray(read_idx, np.int32), ma[:, 3].astype(np.int32)
+
+
+def _make_internal_tile_inner(cfg: PipelineConfig):
+    p = cfg.polyat
+    k = p.internal_pat_length
+    mc = scan.min_count_for(k, p.internal_fraction_at_in_polyat)
+    m_adc = len(cfg.adapter3p.sequence_complete)
+    edmax = cfg.adapter3p.max_complete_seq_needleman_mismatches
+    Wi = WI_CONFIRM
+    K = K_TILE_SITES
+
+    def inner(rows, peq_adc):
+        S = rows.shape[0]
+        codes = unpack_nibbles(rows[:, :TILE // 2])
+        mb = rows[:, TILE // 2:].astype(jnp.int32)
+        own_lo = mb[:, 0] | (mb[:, 1] << 8)
+        own_hi = mb[:, 2] | (mb[:, 3] << 8)
+        tlen = mb[:, 4] | (mb[:, 5] << 8)
+        g0 = (mb[:, 8] | (mb[:, 9] << 8) | (mb[:, 10] << 16)
+              | (mb[:, 11] << 24))
+        rlen = (mb[:, 12] | (mb[:, 13] << 8) | (mb[:, 14] << 16)
+                | (mb[:, 15] << 24))
+        npos = TILE - k + 1
+        pos = jnp.arange(npos, dtype=jnp.int32)[None, :]
+        site_lists = []
+        for base in (dna.A, dna.T):
+            ind = (codes == base).astype(jnp.int32)
+            counts = scan._rolling_count(ind, k)
+            ok = ((counts >= mc) & (pos >= own_lo[:, None])
+                  & (pos < own_hi[:, None]) & (pos <= tlen[:, None] - k))
+            rs = ok & ~jnp.pad(ok[:, :-1], ((0, 0), (1, 0)))
+            ss = []
+            for _ in range(K):
+                j = jnp.min(jnp.where(rs, pos, BIG), axis=1)
+                ss.append(jnp.where(j < BIG, j, -1).astype(jnp.int32))
+                rs = rs & (pos > j[:, None])
+            site_lists.append(jnp.stack(ss, axis=1))     # [S, K]
+        sA, sT = site_lists
+        # confirm both directions in ONE stacked adapter sweep
+        rs6 = jnp.tile(jnp.repeat(codes, K, axis=0), (2, 1))
+        rl6 = jnp.tile(jnp.repeat(tlen, K), 2)
+        starts = jnp.concatenate([sA.reshape(-1),
+                                  sT.reshape(-1) - Wi])
+        rc6 = jnp.concatenate([jnp.ones(S * K, bool),
+                               jnp.zeros(S * K, bool)])
+        wins = gather_window(rs6, rl6, starts, Wi)
+        comp = jnp.asarray(dna._COMP, dtype=jnp.int8)
+        wins = jnp.where(rc6[:, None], comp[wins][:, ::-1], wins)
+        ed6, pos6 = scan.adapter_search(wins, peq_adc, m_adc)
+        a_ed = ed6[:S * K].reshape(S, K)
+        a_pos = pos6[:S * K].reshape(S, K)
+        t_ed = ed6[S * K:].reshape(S, K)
+        t_pos = pos6[S * K:].reshape(S, K)
+        # A-junction: rc window w'[i] <-> read[s+Wi-1-i]; adapter end i_e ->
+        # cassette ends m_adc-1 later; part 2 starts after it
+        a_split = sA + Wi - 1 - a_pos + m_adc
+        # T-junction: adapter end at (s-Wi)+i_e; cassette starts m_adc-1
+        # earlier
+        t_split = sT - Wi + t_pos - (m_adc - 1)
+        spl = jnp.concatenate([a_split, t_split], axis=1)  # [S, 2K]
+        okc = jnp.concatenate(
+            [(sA >= 0) & (a_ed <= edmax), (sT >= 0) & (t_ed <= edmax)],
+            axis=1)
+        gpos = g0[:, None] + spl
+        okc = okc & (gpos > 50) & (gpos < rlen[:, None] - 50)
+        # distinct confirmed splits; first two (tile-local coords)
+        n = jnp.zeros(S, jnp.int32)
+        s0 = jnp.full(S, -1, jnp.int32)
+        s1 = jnp.full(S, -1, jnp.int32)
+        seen = []
+        for i2 in range(2 * K):
+            dup = jnp.zeros(S, bool)
+            for j2, okj in seen:
+                dup = dup | (okj & (spl[:, j2] == spl[:, i2]))
+            take = okc[:, i2] & ~dup
+            s0 = jnp.where(take & (n == 0), spl[:, i2], s0)
+            s1 = jnp.where(take & (n == 1), spl[:, i2], s1)
+            n = n + take.astype(jnp.int32)
+            seen.append((i2, okc[:, i2] & ~dup))
+        return jnp.stack([n, s0, s1], axis=0).astype(jnp.int16)
+
+    return inner
+
+
+def make_internal_tile_map_fn(cfg: PipelineConfig):
+    """lax.map mega dispatcher over [C, S, TILE/2+16] tile-row stacks."""
+    inner = _make_internal_tile_inner(cfg)
+
+    @jax.jit
+    def mega(rows3, peq_adc):
+        return jax.lax.map(lambda r: inner(r, peq_adc), rows3)
+
+    return mega
+
+
+def make_internal_tile_sharded_fn(cfg: PipelineConfig, mesh,
+                                  data_axis: str = "data"):
+    """Multi-chip tile scan: slice stacks data-parallel over `data_axis`
+    (per-tile results need no collective)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    inner = _make_internal_tile_inner(cfg)
+
+    def local(rows3, peq_adc):
+        return jax.lax.map(lambda r: inner(r, peq_adc), rows3)
+
+    sharded = jax.shard_map(local, mesh=mesh, in_specs=(P(data_axis), P()),
+                            out_specs=P(data_axis), check_vma=False)
+    return jax.jit(sharded, in_shardings=(
+        NamedSharding(mesh, P(data_axis)), NamedSharding(mesh, P())))
 
 
 def unpack_internal_meta(meta: np.ndarray, max_sites: int = 4) -> dict:
@@ -611,7 +825,7 @@ def encode_composite_2bit(seqs: list[bytes], quals: list[bytes],
             qv.sum(axis=1, dtype=np.int32))
 
 
-SEARCH_ROWS = 6  # best_ed, idx_lo, idx_hi, second_ed, end_pos, overflow
+SEARCH_ROWS = 5  # best_ed, idx_lo, idx_hi, second_ed, overflow
 
 
 def make_scan_search_body(cfg: PipelineConfig, mode: str, radius: int = 2,
@@ -641,7 +855,7 @@ def make_scan_search_body(cfg: PipelineConfig, mode: str, radius: int = 2,
         lb = packed[:, -4:].astype(jnp.int32)
         lens = lb[:, 0] | (lb[:, 1] << 8) | (lb[:, 2] << 16) | (lb[:, 3] << 24)
         out = body(seq, lens, peq_ad, peq_adc, peq_tso)
-        meta = _pack_meta(out)
+        meta = _pack_meta(out, P2_META_KEYS)
         wins = out["bc_windows"]
         if mode == "prefilter":
             res = bcsearch.qgram_prefilter_search(
@@ -665,7 +879,6 @@ def make_scan_search_body(cfg: PipelineConfig, mode: str, radius: int = 2,
             best[1] & 0xFFFF,
             best[1] >> 16,
             jnp.clip(best[2], -I16_BIG, I16_BIG),
-            jnp.clip(best[3], -I16_BIG, I16_BIG),
             overflow], axis=0)
         # int16 cast: idx_lo is uint16-valued; view back on host
         return jnp.concatenate([meta, brows.astype(jnp.int16)], axis=0)
@@ -851,12 +1064,11 @@ class ReadScanModel:
     # -- fused pass-1 scan (meta + exact BC kmer, 1 RPC each way) --------
 
     def _unpack_pass1(self, arr, qv, comp_lens, true_lens, qsum=None):
-        K = len(EDGE_META_KEYS)
-        out = unpack_edge_meta(arr[:K])
+        K = len(P1_META_KEYS)
+        out = unpack_edge_meta(arr[:K], P1_META_KEYS)
         compute_qvs_np(qv, comp_lens, out, self.cfg.barcodes.cell_bc_length,
                        self.is5p, qsum)
-        for key in ("ps", "pe", "ae", "x_start", "x_end"):
-            out[key] = remap_composite(out[key], true_lens)
+        out["ae"] = remap_composite(out["ae"], true_lens)
         out["true_lens"] = true_lens
         lo = arr[K].astype(np.int64) & 0xFFFF
         hi = arr[K + 1].astype(np.int64) & 0xFFFF
@@ -908,7 +1120,8 @@ class ReadScanModel:
         arr3, spans = self._slices(full)
         parts = [self._pass1_mega(jnp.asarray(arr3[c0:c0 + take]))
                  for c0, take in spans]
-        R = len(EDGE_META_KEYS) + 3
+        _prefetch(parts)
+        R = len(P1_META_KEYS) + 3
         arr = np.concatenate(
             [np.asarray(h).transpose(1, 0, 2).reshape(R, -1) for h in parts],
             axis=1)[:, :B]
@@ -963,6 +1176,7 @@ class ReadScanModel:
                                self.peq_adc, self.peq_tso, self._peq_bc,
                                self._nvalid, self._qgram_t)
                  for c0, take in spans]
+        _prefetch(parts)
         return parts, qv, comp_lens, true_lens, dirty, seqs, quals, B, qsum
 
     def _scan_search_sync(self, seqs: list[bytes], quals: list[bytes]):
@@ -985,24 +1199,24 @@ class ReadScanModel:
     def finish_search(self, handles):
         """Force a scan_search_async result -> (edge dict, best dict)."""
         parts, qv, comp_lens, true_lens, dirty, seqs, quals, B, qsum = handles
-        R = len(EDGE_META_KEYS) + SEARCH_ROWS
+        R = len(P2_META_KEYS) + SEARCH_ROWS
         arr = np.concatenate(
             [np.asarray(h).transpose(1, 0, 2).reshape(R, -1) for h in parts],
             axis=1)[:, :B]
-        K = len(EDGE_META_KEYS)
-        out = unpack_edge_meta(arr[:K])
+        K = len(P2_META_KEYS)
+        out = unpack_edge_meta(arr[:K], P2_META_KEYS)
         # QVs from the composite qual matrix, in composite coords
         compute_qvs_np(qv, comp_lens, out, self.cfg.barcodes.cell_bc_length,
                        self.is5p, qsum)
         for key in ("ps", "pe", "ae", "x_start", "x_end"):
             out[key] = remap_composite(out[key], true_lens)
         out["true_lens"] = true_lens
-        b = arr[K:K + 5].astype(np.int64)
+        b = arr[K:K + 4].astype(np.int64)
         idx = (b[1] & 0xFFFF) | (b[2] << 16)
         ed = np.where(b[0] >= I16_BIG, bcsearch_BIG_MIN, b[0])
         ed2 = np.where(b[3] >= I16_BIG, editdist.INT_MAX, b[3])
-        bc = {"ed": ed, "idx": idx, "ed2": ed2, "end_pos": b[4]}
-        redo = dirty | (arr[K + 5] != 0)
+        bc = {"ed": ed, "idx": idx, "ed2": ed2}
+        redo = dirty | (arr[K + 4] != 0)
         if redo.any():
             idxs = np.nonzero(redo)[0]
             sub_out, sub_bc = self._scan_search_sync(
@@ -1013,6 +1227,58 @@ class ReadScanModel:
             for k in bc:
                 bc[k][idxs] = sub_bc[k]
         return out, bc
+
+    # -- tiled internal/chimera scan (async pass-2 hot path) -------------
+
+    def internal_tiles_async(self, seqs: list[bytes]):
+        """Dispatch the tiled chimera scan for a chunk; None when no read
+        is long enough. Force with finish_internal_tiles."""
+        rows, read_idx, g0s = build_tiles(seqs, self.cfg)
+        if len(rows) == 0:
+            return None
+        if not hasattr(self, "_tile_fn"):
+            if self.mesh is not None:
+                self._tile_fn = make_internal_tile_sharded_fn(
+                    self.cfg, self.mesh, self.data_axis)
+            else:
+                self._tile_fn = make_internal_tile_map_fn(self.cfg)
+        arr3, spans = self._slices(rows)
+        parts = [self._tile_fn(jnp.asarray(arr3[c0:c0 + take]),
+                               self.peq_adc)
+                 for c0, take in spans]
+        _prefetch(parts)
+        return parts, read_idx, g0s, len(rows)
+
+    def finish_internal_tiles(self, handle):
+        """-> (splits {read_idx: [global split pos]} for single-junction
+        reads, discard set for multi-junction reads)."""
+        if handle is None:
+            return {}, set()
+        parts, read_idx, g0s, T = handle
+        arr = np.concatenate(
+            [np.asarray(h).transpose(1, 0, 2).reshape(3, -1)
+             for h in parts], axis=1)[:, :T].astype(np.int32)
+        n, s0, s1 = arr[0], arr[1], arr[2]
+        hot = np.nonzero(n > 0)[0]
+        per_read: dict[int, set] = {}
+        for t in hot:
+            r = int(read_idx[t])
+            g = int(g0s[t])
+            ps = per_read.setdefault(r, set())
+            if n[t] >= 1 and s0[t] >= 0:
+                ps.add(g + int(s0[t]))
+            if n[t] >= 2 and s1[t] >= 0:
+                ps.add(g + int(s1[t]))
+            if n[t] > 2:
+                ps.add(-1)  # >2 distinct in one tile: multi-chimeric
+        splits: dict[int, list[int]] = {}
+        discard: set[int] = set()
+        for r, ps in per_read.items():
+            if -1 in ps or len(ps) > 1:
+                discard.add(r)
+            elif len(ps) == 1:
+                splits[r] = sorted(ps)
+        return splits, discard
 
     def scan_internal(self, seqs, lens):
         """Internal/chimera scan on full-length [B, L] batches (B padded to
@@ -1028,6 +1294,17 @@ class ReadScanModel:
                                  self.peq_adc)
         out = unpack_internal_meta(np.asarray(meta))
         return {k: v[:B] for k, v in out.items()}
+
+
+def _prefetch(parts) -> None:
+    """Start device->host copies of dispatched results immediately: the
+    tunnel's d2h streams at ~15 MB/s, so transfers must overlap the host's
+    emit work for the previous chunk instead of blocking in np.asarray."""
+    for h in parts:
+        try:
+            h.copy_to_host_async()
+        except Exception:
+            break
 
 
 def bucket_length(n: int, minimum: int = 256) -> int:

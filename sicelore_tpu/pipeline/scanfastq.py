@@ -258,44 +258,17 @@ class ScanFastqPipeline:
         return min(self.user_max_ed, cap) if self.user_max_ed is not None else cap
 
     def split_chimeras(self, chunk: fastq.FastqChunk):
-        """Detect + split chimeric reads; returns a new chunk.
+        """Detect + split chimeric reads; returns a new chunk (synchronous
+        wrapper over the tiled device scan — the async pipeline in run()
+        overlaps the same scan with the edge dispatch instead).
 
         Split parts keep the original name (part 1) / get `sp2`, `sp3`...
-        (later parts). Reads with more confirmed junctions than split
-        positions allowed are discarded (reference
-        MULTI_CHIMERIC_READS_DISCARDED)."""
-        a = self.cfg.adapter3p
-        edge = self.cfg.polyat.window_search_for_polya
-        min_len = 2 * edge + self.cfg.polyat.internal_pat_length
-        long_idx = [i for i, s in enumerate(chunk.seqs) if len(s) > min_len]
+        (later parts). Reads with more than one confirmed junction are
+        discarded (reference MULTI_CHIMERIC_READS_DISCARDED,
+        ChimeraFindernew `$SplitPosition$SplitReason`)."""
+        handle = self.model.internal_tiles_async(chunk.seqs)
+        splits, discard = self.model.finish_internal_tiles(handle)
         names, comments, seqs, quals = [], [], [], []
-        splits: dict[int, list[int]] = {}
-        discard: set[int] = set()
-        if long_idx:
-            # bucket long reads by length for the internal scan
-            by_bucket: dict[int, list[int]] = defaultdict(list)
-            for i in long_idx:
-                by_bucket[readscan.bucket_length(len(chunk.seqs[i]), 1024)].append(i)
-            for L, idxs in by_bucket.items():
-                sub = [chunk.seqs[i][:L] for i in idxs]
-                codes, lens = dna.encode_batch(sub, L)
-                out = self.model.scan_internal(codes, lens)
-                edmax = a.max_complete_seq_needleman_mismatches
-                for row, i in enumerate(idxs):
-                    pos = []
-                    for k in range(out["internal_a"].shape[1]):
-                        if (out["internal_a"][row, k] >= 0
-                                and out["internal_a_ed"][row, k] <= edmax):
-                            pos.append(int(out["internal_a_split"][row, k]))
-                        if (out["internal_t"][row, k] >= 0
-                                and out["internal_t_ed"][row, k] <= edmax):
-                            pos.append(int(out["internal_t_split"][row, k]))
-                    pos = sorted(p for p in pos
-                                 if 50 < p < len(chunk.seqs[i]) - 50)
-                    if len(pos) == 1:
-                        splits[i] = pos
-                    elif len(pos) > 1:
-                        discard.add(i)
         for i in range(len(chunk)):
             if i in discard:
                 self.stats.multi_chimeric_discarded += 1
@@ -316,6 +289,37 @@ class ScanFastqPipeline:
                 seqs.append(chunk.seqs[i])
                 quals.append(chunk.quals[i])
         return fastq.FastqChunk(names, comments, seqs, quals)
+
+    def _split_parts_chunk(self, chunk: fastq.FastqChunk,
+                           splits: dict[int, list[int]]):
+        """Build a mini chunk holding the parts of split reads."""
+        names, comments, seqs, quals = [], [], [], []
+        for i in sorted(splits):
+            cuts = [0] + splits[i] + [len(chunk.seqs[i])]
+            for part in range(len(cuts) - 1):
+                nm = chunk.names[i] + (b"" if part == 0
+                                       else b"sp%d" % (part + 1))
+                names.append(nm)
+                comments.append(chunk.comments[i])
+                seqs.append(chunk.seqs[i][cuts[part]:cuts[part + 1]])
+                quals.append(chunk.quals[i][cuts[part]:cuts[part + 1]])
+        return fastq.FastqChunk(names, comments, seqs, quals)
+
+    def _finish_chunk(self, chunk, th, sh, passed, failed):
+        """Force one pipelined chunk: merge the tiled chimera results with
+        the fused scan+search results. Unsplit reads (the vast majority)
+        emit straight from the batch; split reads\' parts re-scan through
+        the exact fallback path (their edge geometry changed)."""
+        splits, discard = self.model.finish_internal_tiles(th)
+        out, bc = self.model.finish_search(sh)
+        self.stats.multi_chimeric_discarded += len(discard)
+        self.stats.split_chimeric += len(splits)
+        skip = discard | set(splits)
+        self.pass2_emit(chunk, out, bc, passed, failed, skip=skip)
+        if splits:
+            sub = self._split_parts_chunk(chunk, splits)
+            s_out, s_bc = self.model._scan_search_sync(sub.seqs, sub.quals)
+            self.pass2_emit(sub, s_out, s_bc, passed, failed)
 
     def pass2_chunk(self, chunk: fastq.FastqChunk,
                     passed: fastq.FastqWriter, failed: fastq.FastqWriter):
@@ -342,13 +346,24 @@ class ScanFastqPipeline:
         self.pass2_emit(chunk, out, bc, passed, failed)
 
     def pass2_emit(self, chunk: fastq.FastqChunk, out: dict, bc: dict,
-                   passed: fastq.FastqWriter, failed: fastq.FastqWriter):
-        """Apply assignment rules + write outputs for one scanned chunk."""
+                   passed: fastq.FastqWriter, failed: fastq.FastqWriter,
+                   skip: set[int] | None = None):
+        """Apply assignment rules + write outputs for one scanned chunk.
+
+        `skip`: read indices excluded entirely (chimera-discarded reads and
+        reads whose split parts re-emit separately — the async pipeline
+        scans the unsplit chunk). Assignment decisions + stats are
+        vectorized; record assembly runs in the native emitter when the
+        hostenc extension is present (the per-read Python loop was ~25% of
+        warm pass-2 wall-clock)."""
         r = self.cfg.readscanner
         bc_len = self.cfg.barcodes.cell_bc_length
         n = len(chunk)
-        too_short = out["true_lens"] < r.min_read_length
-        stranded = out["stranded"] & ~too_short
+        keep = np.ones(n, dtype=bool)
+        if skip:
+            keep[list(skip)] = False
+        too_short = (out["true_lens"] < r.min_read_length) & keep
+        stranded = out["stranded"] & ~too_short & keep
         self.stats.too_short += int(too_short.sum())
         self.stats.stranded += int(stranded.sum())
         self.stats.fwd += int((stranded & out["is_fwd"]).sum())
@@ -365,23 +380,36 @@ class ScanFastqPipeline:
         # 2147483647 when no second hit was seen (README.md:396-459)
         bc_ed2 = np.where(bc["ed2"] > max_ed, editdist.INT_MAX, bc["ed2"])
 
-        # outputs
+        # vectorized stats
+        n_assigned = int(assigned.sum())
+        self.stats.bc_assigned += n_assigned
+        self.stats.unassigned += int((keep & ~assigned).sum())
+        eds = np.minimum(bc_ed[assigned], 7).astype(np.int64)
+        for e, c in zip(*np.unique(eds, return_counts=True)):
+            self.stats.ed_hist[int(e)] += int(c)
+        for bi, e in zip(bc_idx[assigned].astype(np.int64), eds):
+            hist = self.assigned_hist.setdefault(
+                int(bi), np.zeros(8, dtype=np.int64))
+            hist[e] += 1
+
+        is5p = self.cfg.chemistry == "5p"
+        ae = out["ae"].astype(np.int64)
+        bc_start = np.where(is5p, ae + 1, ae - 1)
+        bc_end = np.where(is5p, ae + bc_len, ae - bc_len)
+        emitted = self._emit_records(
+            chunk, keep, assigned, out, bc_idx, bc_ed, bc_ed2,
+            bc_start, bc_end, passed, failed)
+        if emitted:
+            return
+        # pure-Python fallback emitter
         for i in range(n):
+            if not keep[i]:
+                continue
             name, seq, qual = chunk.names[i], chunk.seqs[i], chunk.quals[i]
             if not assigned[i]:
-                self.stats.unassigned += 1
                 failed.write(name, seq, qual, chunk.comments[i])
                 continue
-            self.stats.bc_assigned += 1
-            ed = int(bc_ed[i])
-            self.stats.ed_hist[ed] += 1
-            bi = int(bc_idx[i])
-            hist = self.assigned_hist.setdefault(bi, np.zeros(8, dtype=np.int64))
-            hist[min(ed, 7)] += 1
             is_fwd = bool(out["is_fwd"][i])
-            L = int(out["true_lens"][i])
-            ae = int(out["ae"][i])
-            # stranded sequence/qual for metadata + output
             if is_fwd:
                 sseq, squal = seq, qual
             else:
@@ -392,19 +420,56 @@ class ScanFastqPipeline:
             x_seq = sseq[max(xs_t, 0):xe_t + 1]
             nm = readname.encode_name(
                 name, is_fwd=is_fwd,
-                ps=int(out["ps"][i]), pe=int(out["pe"][i]), ae=ae,
-                bc=self.used_strs[bi], ed=ed,
+                ps=int(out["ps"][i]), pe=int(out["pe"][i]), ae=int(ae[i]),
+                bc=self.used_strs[int(bc_idx[i])], ed=int(bc_ed[i]),
                 ed_sec=int(bc_ed2[i]),
                 # 3p: BC upstream of the adapter (descending coords);
                 # 5p: BC right after the adapter (ascending)
-                bc_start=(ae + 1 if self.cfg.chemistry == "5p" else ae - 1),
-                bc_end=(ae + bc_len if self.cfg.chemistry == "5p"
-                        else ae - bc_len),
-                rank=int(self.ranks[bi]),
+                bc_start=int(bc_start[i]), bc_end=int(bc_end[i]),
+                rank=int(self.ranks[int(bc_idx[i])]),
                 x_seq=x_seq, x_qv=float(out["x_qv"][i]),
                 tso_end=int(out["tso_end"][i]) if out["tso_end"][i] >= 0 else None,
                 split_part=0)
             passed.write(nm, sseq, squal, chunk.comments[i])
+
+    def _emit_records(self, chunk, keep, assigned, out, bc_idx, bc_ed,
+                      bc_ed2, bc_start, bc_end, passed, failed) -> bool:
+        """Native batch emitter (hostenc.emit_records); False -> caller
+        falls back to the Python loop."""
+        from sicelore_tpu.io import native as _native
+        ext = _native.get_hostenc()
+        if ext is None or not hasattr(ext, "emit_records"):
+            return False
+        n = len(chunk)
+        idx = bc_idx.astype(np.int32)
+        ranks = np.asarray(self.ranks, dtype=np.int32)
+        rank_arr = ranks[np.clip(idx, 0, max(len(ranks) - 1, 0))] \
+            if len(ranks) else np.zeros(n, np.int32)
+        bc_blob = ("".join(self.used_strs)).encode() if self.used_strs \
+            else b""
+        flags = (keep.astype(np.uint8)
+                 | (assigned.astype(np.uint8) << 1)
+                 | (out["is_fwd"].astype(np.uint8) << 2))
+        pb, fb = ext.emit_records(
+            chunk.names, chunk.comments, chunk.seqs, chunk.quals,
+            flags.tobytes(),
+            out["ps"].astype(np.int32).tobytes(),
+            out["pe"].astype(np.int32).tobytes(),
+            out["ae"].astype(np.int32).tobytes(),
+            out["tso_end"].astype(np.int32).tobytes(),
+            bc_ed.astype(np.int32).tobytes(),
+            bc_ed2.astype(np.int32).tobytes(),
+            bc_start.astype(np.int32).tobytes(),
+            bc_end.astype(np.int32).tobytes(),
+            rank_arr.astype(np.int32).tobytes(),
+            out["x_start"].astype(np.int32).tobytes(),
+            out["x_end"].astype(np.int32).tobytes(),
+            out["x_qv"].astype(np.float32).tobytes(),
+            idx.tobytes(), bc_blob,
+            self.cfg.barcodes.cell_bc_length)
+        passed.write_raw(bytes(pb))
+        failed.write_raw(bytes(fb))
+        return True
 
     # ------------------------------------------------------------------
 
@@ -465,8 +530,9 @@ class ScanFastqPipeline:
             stem = f.name
             for suf in (".gz", ".fastq", ".fq"):
                 stem = stem[:-len(suf)] if stem.endswith(suf) else stem
-            with fastq.FastqWriter(out_dir / "passed" / f"{stem}FWD{ext}") as pw, \
-                 fastq.FastqWriter(out_dir / "failed" / f"{stem}FAILED{ext}") as fw:
+            pw = fastq.FastqWriter(out_dir / "passed" / f"{stem}FWD{ext}")
+            fw = fastq.FastqWriter(out_dir / "failed" / f"{stem}FAILED{ext}")
+            try:
                 if not use_fused:
                     for chunk in fastq.read_fastq(f, self.chunk_size):
                         self.pass2_chunk(chunk, pw, fw)
@@ -474,18 +540,19 @@ class ScanFastqPipeline:
                 pending = None
                 for chunk in fastq.read_fastq(f, self.chunk_size):
                     self.stats.total_reads += len(chunk)
-                    chunk = self.split_chimeras(chunk)
-                    handles = self.model.scan_search_async(chunk.seqs,
-                                                           chunk.quals)
+                    th = self.model.internal_tiles_async(chunk.seqs)
+                    sh = self.model.scan_search_async(chunk.seqs,
+                                                      chunk.quals)
                     if pending is not None:
-                        pchunk, phandles = pending
-                        out, bc = self.model.finish_search(phandles)
-                        self.pass2_emit(pchunk, out, bc, pw, fw)
-                    pending = (chunk, handles)
+                        self._finish_chunk(*pending, pw, fw)
+                    pending = (chunk, th, sh)
                 if pending is not None:
-                    pchunk, phandles = pending
-                    out, bc = self.model.finish_search(phandles)
-                    self.pass2_emit(pchunk, out, bc, pw, fw)
+                    self._finish_chunk(*pending, pw, fw)
+            finally:
+                # async close: disk writes overlap the next file's compute
+                pw.close(wait=False)
+                fw.close(wait=False)
+        fastq.writer_barrier()
         if nproc > 1:
             self._merge_multihost()
         if jax.process_index() == 0:
@@ -563,11 +630,10 @@ class ScanFastqPipeline:
                     for chunk in fastq.read_fastq(f, self.chunk_size):
                         if use_fused:
                             self.stats.total_reads += len(chunk)
-                            chunk = self.split_chimeras(chunk)
-                            h = self.model.scan_search_async(chunk.seqs,
-                                                             chunk.quals)
-                            o, bc = self.model.finish_search(h)
-                            self.pass2_emit(chunk, o, bc, pw, fw)
+                            th = self.model.internal_tiles_async(chunk.seqs)
+                            sh = self.model.scan_search_async(chunk.seqs,
+                                                              chunk.quals)
+                            self._finish_chunk(chunk, th, sh, pw, fw)
                         else:
                             self.pass2_chunk(chunk, pw, fw)
             self.write_barcodes_assigned(out_dir / "BarcodesAssigned.tsv")

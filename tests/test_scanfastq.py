@@ -106,3 +106,60 @@ def test_known_cells_skips_pass1(run_dir, tmp_path):
     assert set(pipe.used_strs) == set(cells)  # packed storage sorts the list
     assert stats.bc_assigned > 400
     assert not (tmp_path / "kc" / "BarcodeList.tsv").exists()
+
+
+def test_native_emit_matches_python(tmp_path):
+    """The C batch emitter must write byte-identical records to the
+    Python fallback loop (readname.encode_name contract)."""
+    import numpy as np
+
+    from sicelore_tpu.io import native
+    from sicelore_tpu.pipeline.scanfastq import ScanFastqPipeline
+    from sicelore_tpu.io import fastq as fq
+    from sicelore_tpu.utils import synth
+
+    if native.get_hostenc() is None or \
+            not hasattr(native.get_hostenc(), "emit_records"):
+        import pytest
+        pytest.skip("native emitter unavailable")
+    rng = np.random.default_rng(11)
+    wl = synth.make_whitelist(rng, 64)
+    reads = [synth.make_read(rng, wl[int(rng.integers(0, 64))],
+                             cdna_len=int(rng.integers(200, 500)),
+                             error_rate=0.06, reverse=bool(i % 2))
+             for i in range(300)]
+    seqs = [r["seq"] for r in reads]
+    quals = [r["qual"] for r in reads]
+    chunk = fq.FastqChunk([b"r%d" % i for i in range(300)],
+                          [b"c%d" % (i % 3) if i % 2 else b""
+                           for i in range(300)], seqs, quals)
+    pipe = ScanFastqPipeline(whitelist=wl, chunk_size=512)
+    pipe.use_fixed_list()
+    out = pipe.model.scan_reads(chunk.seqs, chunk.quals)
+    from sicelore_tpu.ops import bcsearch
+    bc = bcsearch.bc_search(out["bc_windows"].astype(np.int32),
+                            pipe.used_peq, len(pipe.used_strs), 16)
+
+    class Cap:
+        def __init__(self):
+            self.buf = b""
+
+        def write(self, name, seq, qual, comment=b""):
+            header = b"@" + name + ((b" " + comment) if comment else b"")
+            self.buf += header + b"\n" + seq + b"\n+\n" + qual + b"\n"
+
+        def write_raw(self, rec):
+            self.buf += rec
+
+    skip = {5, 17}
+    p1, f1 = Cap(), Cap()
+    pipe.pass2_emit(chunk, out, bc, p1, f1, skip=skip)
+    # force the Python fallback
+    pipe2 = ScanFastqPipeline(whitelist=wl, chunk_size=512)
+    pipe2.use_fixed_list()
+    pipe2._emit_records = lambda *a, **k: False
+    p2, f2 = Cap(), Cap()
+    pipe2.pass2_emit(chunk, out, bc, p2, f2, skip=skip)
+    assert p1.buf == p2.buf
+    assert f1.buf == f2.buf
+    assert p1.buf.count(b"\n") % 4 == 0 and len(p1.buf) > 0
