@@ -152,8 +152,17 @@ def adapter_search(windows: jax.Array, peq1: jax.Array, m: int):
 
     windows [B, W] int8; peq1 [4, 1] uint32 (single pattern).
     Returns ed [B] int32 and end_pos [B] int32 (0-based last matched char in
-    the window; ties -> first).
-    """
+    the window; ties -> first). On TPU with kernel-friendly batch shapes
+    the Pallas window-search kernel runs instead of the jnp scan (whose
+    W-step chain compiles to one latency-bound fusion); results are
+    bit-identical (tests/test_editdist.py)."""
+    B = windows.shape[0]
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    if on_tpu and B % 1024 == 0 and m <= 31:
+        return editdist.myers_win1_pallas(windows, peq1, m)
     ed, pos = editdist.myers_sweep(windows, peq1, m)
     return ed[:, 0], pos[:, 0]
 

@@ -221,16 +221,31 @@ class AssignUmisPipeline:
                     if rec.ref_id != last_ref:
                         flush_all()
                         last_ref = rec.ref_id
-                    # gene tagging (before grouping, like GennameTagger)
+                    # gene tagging (before grouping, like GennameTagger):
+                    # the jar routes both assignumis and addgenenametag
+                    # through Drop-seq TagReadWithGeneExonFunction
+                    # (Jar/config.xml:88-90), so use the LocusFunction
+                    # annotate() path over the alignment M-blocks — the
+                    # earlier exonic*1000 heuristic ranked overlapping
+                    # genes differently from the reference GE
                     if self.tagger is not None and rec.get_tag(gene_attr) is None \
                             and not rec.is_unmapped:
                         chrom = ref_names[rec.ref_id] if rec.ref_id >= 0 else None
                         if chrom:
-                            g = self.tagger.tag(
-                                chrom, [(rec.pos + 1, rec.reference_end())],
+                            blocks = []
+                            pos = rec.pos + 1
+                            for op, ln in rec.cigar:
+                                if op in ("M", "=", "X"):
+                                    blocks.append((pos, pos + ln - 1))
+                                    pos += ln
+                                elif op in ("N", "D"):
+                                    pos += ln
+                            ge, _gs, _xf = self.tagger.annotate(
+                                chrom, blocks or
+                                [(rec.pos + 1, rec.reference_end())],
                                 "-" if rec.is_reverse else "+")
-                            if g:
-                                rec.set_tag(gene_attr, g, "Z")
+                            if ge:
+                                rec.set_tag(gene_attr, ge, "Z")
                     res = self._analyze(rec, ref_names)
                     if res is None:
                         self.stats.no_scan_info += 1

@@ -107,3 +107,24 @@ def test_myers_global_pairwise_vs_np():
             for j in range(K):
                 want = editdist.levenshtein_np(pats[g, i], seqs[(g, j)])
                 assert ed[g, i, j] == want, (g, i, j, ed[g, i, j], want)
+
+
+def test_myers_win1_pallas_parity():
+    """Pallas single-pattern window search == jnp myers_sweep (exact)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sicelore_tpu.ops import editdist
+
+    rng = np.random.default_rng(3)
+    B, W, m = 1024, 48, 19
+    wins = rng.integers(0, 6, (B, W)).astype(np.int8)
+    pat = rng.integers(0, 4, m).astype(np.int8)
+    peq = editdist.build_peq(pat[None, :])
+    ed_j, pos_j = editdist.myers_sweep(jnp.asarray(wins), jnp.asarray(peq), m)
+    interp = jax.devices()[0].platform != "tpu"
+    ed_p, pos_p = editdist.myers_win1_pallas(
+        jnp.asarray(wins), jnp.asarray(peq), m, interpret=interp)
+    assert np.array_equal(np.asarray(ed_j)[:, 0], np.asarray(ed_p))
+    assert np.array_equal(np.asarray(pos_j)[:, 0], np.asarray(pos_p))
