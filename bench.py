@@ -35,7 +35,12 @@ def _setup_cache():
     try:  # persistent compile cache: first run pays, later runs are instant
         jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        # MUST be 0 on the remote-compile (axon) platform: jax only
+        # measures its local dispatch of the compile RPC (<1s) while the
+        # service spends minutes, so any threshold suppresses every write
+        # and the persistent cache never hits (measured: the whole cold
+        # wall re-pays on every process start)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     except Exception:
         pass
 

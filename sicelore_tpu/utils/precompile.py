@@ -24,7 +24,7 @@ def enable_persistent_cache(cache_dir: str = "/root/.cache/jax") -> None:
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     except Exception:
         pass
 
