@@ -330,6 +330,11 @@ PyObject *py_emit_records(PyObject *, PyObject *args) {
   auto work = [&](int ti, Py_ssize_t lo, Py_ssize_t hi) {
     std::string &pb = bufs[ti].passed;
     std::string &fb = bufs[ti].failed;
+    size_t est = 0;
+    for (Py_ssize_t i = lo; i < hi; i++)
+      est += (size_t)sqv[i].n + qlv[i].n + nmv[i].n + 256;
+    pb.reserve(est);
+    fb.reserve(est / 4);
     std::string sseq, squal;
     for (Py_ssize_t i = lo; i < hi; i++) {
       if (!(fl[i] & 1)) continue;  // skipped (chimera discard/split)
