@@ -134,6 +134,10 @@ def read_fastq_dirs(paths: list[str | Path], chunk_size: int = 50_000,
 
 
 _write_pool = None
+# Futures detached from their writer (async close path): writer_barrier()
+# must .result() them so a failed background write/close (ENOSPC, gzip
+# error) surfaces instead of silently truncating output (ADVICE r3).
+_detached_futs: list = []
 
 
 def _writer_pool():
@@ -194,7 +198,8 @@ class FastqWriter:
             self._futs.clear()
             self._fh.close()
         else:
-            _writer_pool().submit(self._fh.close)
+            _detached_futs.extend(self._futs)
+            _detached_futs.append(_writer_pool().submit(self._fh.close))
             self._futs.clear()
 
     def __enter__(self):
@@ -205,9 +210,13 @@ class FastqWriter:
 
 
 def writer_barrier():
-    """Block until every queued background write/close has completed."""
+    """Block until every queued background write/close has completed and
+    re-raise the first error any of them hit."""
     if _write_pool is not None:
         _write_pool.submit(lambda: None).result()
+    futs, _detached_futs[:] = list(_detached_futs), []
+    for f in futs:
+        f.result()
 
 
 def load_fastq_dict(directory: str | Path) -> dict[bytes, tuple[bytes, bytes]]:

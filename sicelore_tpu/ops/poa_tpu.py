@@ -462,21 +462,25 @@ def band_align_pallas(centT: jax.Array, clens: jax.Array, readsT: jax.Array,
     tb = jnp.transpose(tb, (1, 0, 2)).reshape(Lc + 1, P)
     feas = feas4[:, 0, :, :QP].reshape(-1, pp_step(Lc)).reshape(1, P)
     return extract_alignments(jnp.transpose(tb), feas[0],
-                              jnp.transpose(readsT), Lc)
+                              jnp.transpose(readsT), Lc, W)
 
 
-@functools.partial(jax.jit, static_argnames=("Lc",))
+@functools.partial(jax.jit, static_argnames=("Lc", "W"))
 def extract_alignments(tb: jax.Array, feasible: jax.Array,
-                       reads_p: jax.Array, Lc: int):
-    """Unpack the kernel's per-column walk records into aligned / insertion
-    code tensors (all-column-parallel XLA gathers).
+                       reads_p: jax.Array, Lc: int, W: int):
+    """Unpack the kernel's per-column walk records into aligned codes +
+    per-pair insertion vote tensors (all-column-parallel XLA gathers).
 
     tb [P, Lc+1] i32 packed bstop | be<<8 | diag<<16 | vert<<17 |
     active<<18; slot t < Lc records column j = t+1, slot Lc records the
     j = 0 insertion drain. Returns (aligned [P, Lc+1] i32 — read base
-    code on diag, 4 on vert (deletion), 5 otherwise — ins
-    [P, (Lc+1)*K_INS] i32 with row j = insertions before center pos j,
-    feasible)."""
+    code on diag, 4 on vert (deletion), 5 otherwise — ins_votes
+    [P, Lc+1, K_INS, 4] i8 with row j = insertions before center pos j,
+    feasible). A horizontal run longer than K_INS piles every excess
+    char's vote into the last offset slot, exactly like the jnp
+    reference's `o = min(run, K_INS-1)` accumulation (the round-3
+    single-char truncation diverged there — caught by the
+    test_pallas_parity_* suite, ADVICE r4)."""
     P, Lc1 = tb.shape
     bstop = tb & 0xFF
     be = (tb >> 8) & 0xFF
@@ -498,20 +502,23 @@ def extract_alignments(tb: jax.Array, feasible: jax.Array,
     # slot t's record describes the move INTO column t's base slot; the
     # drain slot emits no base
     aligned = jnp.where(slot < Lc, emitted, 5)
-    run_len = be - bstop
-    ins_slots = []
-    for o in range(K_INS):
-        lane = be - o
-        if o == K_INS - 1:
-            lane = jnp.where(run_len > K_INS, bstop + 1, lane)
-        rb_o = jnp.clip(rchar(lane), 0, 3)
+    run_len = be - bstop                          # chars at lanes be..bstop+1
+    ch4 = jnp.arange(4, dtype=jnp.int32)
+    # offset o counts from the run END (right-justified trace order);
+    # o >= K_INS-1 accumulates in the last slot. Runs are bounded by the
+    # band width, so the o loop is static at W-1 iterations.
+    acc = [jnp.zeros((P, Lc1, 4), jnp.int8) for _ in range(K_INS)]
+    for o in range(W - 1):
+        rb_o = jnp.clip(rchar(be - o), 0, 3)
         has = (active > 0) & (o < run_len)
-        ins_slots.append(jnp.where(has, rb_o, 5))
-    ins_by_slot = jnp.stack(ins_slots, axis=2)   # [P, Lc+1, K]
+        oh = ((rb_o[..., None] == ch4) & has[..., None]).astype(jnp.int8)
+        s = min(o, K_INS - 1)
+        acc[s] = acc[s] + oh
+    ins_by_slot = jnp.stack(acc, axis=2)          # [P, Lc+1, K, 4]
     # reorder to insertion rows: row 0 = drain (slot Lc), row j = slot j-1
-    ins = jnp.concatenate([ins_by_slot[:, Lc:], ins_by_slot[:, :Lc]],
-                          axis=1).reshape(P, Lc1 * K_INS)
-    return aligned, ins, feasible
+    ins_votes = jnp.concatenate([ins_by_slot[:, Lc:], ins_by_slot[:, :Lc]],
+                                axis=1)
+    return aligned, ins_votes, feasible
 
 
 @functools.partial(jax.jit, static_argnames=("M", "maxps", "out_cols"))
@@ -519,8 +526,8 @@ def votes_assemble(aligned, ins, feasible, mids, centers_mol, clen_mol,
                    M: int, maxps: int, out_cols: int):
     """Per-pair alignments -> per-molecule consensus, all on device.
 
-    aligned [P, Lc+1] i32 (0..3 base / 4 del / 5 none), ins
-    [P, (Lc+1)*K_INS] i32, feasible [P], mids [P] segment ids < M,
+    aligned [P, Lc+1] i32 (0..3 base / 4 del / 5 none), ins_votes
+    [P, Lc+1, K_INS, 4] i8, feasible [P], mids [P] segment ids < M,
     centers_mol [M', Lc] i8 (rows >= the real molecule count are ignored
     by the caller), clen_mol [M'] i32 — M' rows are aligned with segment
     ids. Returns (packed [M, out_cols] u8 — qv<<2 | base — out_len [M],
@@ -536,10 +543,8 @@ def votes_assemble(aligned, ins, feasible, mids, centers_mol, clen_mol,
     cv = jax.ops.segment_sum(
         (aligned[:, :Lc, None] == ch5).astype(jnp.int32), mids,
         num_segments=M)                                     # [M, Lc, 5]
-    ins3 = ins.reshape(P, Lc1, K)
-    iv = jax.ops.segment_sum(
-        (ins3[..., None] == ch5[:4]).astype(jnp.int32), mids,
-        num_segments=M)                                     # [M, Lc+1, K, 4]
+    iv = jax.ops.segment_sum(ins.astype(jnp.int32), mids,
+                             num_segments=M)                # [M, Lc+1, K, 4]
     pc = jax.ops.segment_sum(feasible.astype(jnp.int32), mids,
                              num_segments=M)
     R = pc + 1                                              # center votes too
@@ -605,7 +610,7 @@ class BatchedConsensusEngine:
 
     def __init__(self, maxreads: int = 20, band: int = 64,
                  max_center_len: int = 2048, mesh=None,
-                 data_axis: str = "data"):
+                 data_axis: str = "data", force: str | None = None):
         """`mesh`: a jax.sharding.Mesh — pair batches shard over
         `data_axis` and per-molecule votes psum-merge (multi-chip
         consensus as a pipeline mode; results identical to single-chip).
@@ -618,9 +623,16 @@ class BatchedConsensusEngine:
         self.data_axis = data_axis
         self._gran = int(mesh.shape[data_axis]) if mesh is not None else 1
         self._steps: dict = {}
+        # force: "pallas-interpret" runs the production Pallas path in
+        # interpret mode off-TPU (parity tests); "jnp" forces the fallback
+        self._interp = force == "pallas-interpret"
         try:
             self._on_tpu = jax.devices()[0].platform == "tpu"
         except Exception:
+            self._on_tpu = False
+        if self._interp:
+            self._on_tpu = True
+        elif force == "jnp":
             self._on_tpu = False
 
     # -- jnp fallback (CPU tests / multihost CPU meshes) ------------------
@@ -654,7 +666,9 @@ class BatchedConsensusEngine:
                     results[mi] = poa.consensus_reads(seqs, minps, maxps)
                 else:
                     buckets[max(256, 1 << (c - 1).bit_length())].append(mi)
-        if self._on_tpu and self.mesh is None:
+        # maxps > 63 cannot pack into the 6 qv bits of the compacted
+        # consensus byte (ADVICE r3) — serve those from the jnp engine
+        if self._on_tpu and self.mesh is None and maxps <= 63:
             self._run_pallas(molecules, buckets, results, minps, maxps)
         else:
             self._run_jnp(molecules, buckets, results, minps, maxps)
@@ -759,7 +773,7 @@ class BatchedConsensusEngine:
             out_cols = Lc + Lc // 8 + 16
             aligned, ins, feas = band_align_pallas(
                 jnp.asarray(cT), jnp.asarray(cl), jnp.asarray(rT),
-                jnp.asarray(rl), Lc)
+                jnp.asarray(rl), Lc, interpret=self._interp)
             packed, out_len, pc, overflow = votes_assemble(
                 aligned, ins, feas, jnp.asarray(mids), jnp.asarray(cmol),
                 jnp.asarray(clm), Pp, maxps, out_cols)

@@ -108,10 +108,12 @@ class ScanFastqPipeline:
             # a shared model carries its own cfg/mesh; passing a diverging
             # cfg or mesh alongside it would silently split the pipeline's
             # host logic from the device path (ADVICE r2)
-            assert mesh is None or mesh is model.mesh, \
-                "model= and mesh= conflict; build the model with the mesh"
-            assert cfg is None or cfg is model.cfg, \
-                "model= and cfg= conflict; build the model with the cfg"
+            if not (mesh is None or mesh is model.mesh):
+                raise ValueError(
+                    "model= and mesh= conflict; build the model with the mesh")
+            if not (cfg is None or cfg is model.cfg):
+                raise ValueError(
+                    "model= and cfg= conflict; build the model with the cfg")
             self.cfg = model.cfg
         else:
             self.cfg = cfg or PipelineConfig()
@@ -384,9 +386,11 @@ class ScanFastqPipeline:
         n_assigned = int(assigned.sum())
         self.stats.bc_assigned += n_assigned
         self.stats.unassigned += int((keep & ~assigned).sum())
-        eds = np.minimum(bc_ed[assigned], 7).astype(np.int64)
-        for e, c in zip(*np.unique(eds, return_counts=True)):
+        eds_raw = bc_ed[assigned].astype(np.int64)
+        for e, c in zip(*np.unique(eds_raw, return_counts=True)):
             self.stats.ed_hist[int(e)] += int(c)
+        # assigned_hist rows are fixed 8-wide; clamp only there (ADVICE r3)
+        eds = np.minimum(eds_raw, 7)
         for bi, e in zip(bc_idx[assigned].astype(np.int64), eds):
             hist = self.assigned_hist.setdefault(
                 int(bi), np.zeros(8, dtype=np.int64))

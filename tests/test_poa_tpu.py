@@ -56,6 +56,64 @@ def test_device_engine_dispatch(engine):
     assert res[2][1] == bytes([53]) * 200  # full agreement -> 33+20
 
 
+def _pal_vs_jnp(mols, band):
+    """Byte-equality of the production Pallas path (interpret mode) vs the
+    jnp reference engine. Both engines must run the same band width: the
+    Pallas path derives W from the Lc bucket (w_for), the jnp engine from
+    `band` — mismatched bands would legitimately diverge at band edges."""
+    pal = BatchedConsensusEngine(force="pallas-interpret")
+    ref = BatchedConsensusEngine(band=band, force="jnp")
+    rp = pal(mols)
+    rj = ref(mols)
+    for i, ((pc, pq), (jc, jq)) in enumerate(zip(rp, rj)):
+        assert pc == jc, (i, pc, jc)
+        assert pq == jq, (i, pq, jq)
+
+
+def test_pallas_parity_w32():
+    """band_align_pallas + votes_assemble == consensus_votes + _assemble
+    over randomized molecules in the W=32 bucket (Lc <= 512), including
+    >K_INS insertion runs, deletions, near-band-edge length diffs, and a
+    center exactly at the bucket size (ADVICE r3 high)."""
+    rng = np.random.default_rng(7)
+    mols, _ = _mols(rng, 5, 5, 0.08, 220)
+    # heavy-indel molecules: insertion runs longer than K_INS
+    for _ in range(3):
+        truth = synth.random_seq(rng, 200)
+        reads = []
+        for r in range(4):
+            pos = int(rng.integers(40, 160))
+            ins = synth.random_seq(rng, int(rng.integers(6, 11)))
+            s = truth[:pos] + ins + truth[pos:]
+            dpos = int(rng.integers(20, 120))
+            s = s[:dpos] + s[dpos + int(rng.integers(1, 9)):]
+            reads.append(synth.mutate(rng, s, 0.03).encode())
+        mols.append(reads)
+    # near-band-edge length diffs (W//2 - 4 = 12 is the drop threshold)
+    truth = synth.random_seq(rng, 240)
+    mols.append([truth.encode(), truth[:229].encode(), (truth + "ACGTACGTACG").encode(),
+                 synth.mutate(rng, truth, 0.05).encode()])
+    # center exactly at the bucket boundary (Lc == clen == 256)
+    truth = synth.random_seq(rng, 256)
+    mols.append([synth.mutate(rng, truth, 0.04).encode() for _ in range(4)]
+                + [truth.encode()])
+    _pal_vs_jnp(mols, band=32)
+
+
+def test_pallas_parity_w64():
+    """Same parity in the W=64 bucket (Lc > 512)."""
+    rng = np.random.default_rng(8)
+    mols, _ = _mols(rng, 2, 4, 0.06, 560)
+    truth = synth.random_seq(rng, 600)
+    reads = []
+    for r in range(5):
+        pos = int(rng.integers(100, 500))
+        s = truth[:pos] + synth.random_seq(rng, 7) + truth[pos:]
+        reads.append(synth.mutate(rng, s, 0.04).encode())
+    mols.append(reads)
+    _pal_vs_jnp(mols, band=64)
+
+
 def test_mixed_length_buckets(engine):
     rng = np.random.default_rng(2)
     mols1, t1 = _mols(rng, 2, 5, 0.05, 200)
