@@ -829,7 +829,7 @@ SEARCH_ROWS = 5  # best_ed, idx_lo, idx_hi, second_ed, overflow
 
 
 def make_scan_search_body(cfg: PipelineConfig, mode: str, radius: int = 2,
-                          K: int = 64, bt: int = 256, nt: int = 512):
+                          K: int = 64, bt: int = 256, nt: int = 1024):
     """Fused edge scan + whitelist search body (un-jitted; composed into
     the lax.map mega dispatcher so a whole multi-slice batch is ONE upload
     and ONE download — each RPC over the remote-TPU tunnel costs ~50ms).
@@ -862,8 +862,11 @@ def make_scan_search_body(cfg: PipelineConfig, mode: str, radius: int = 2,
                 wins, qgram_t, peq_bc, nvalid, m, radius, K)
             best, overflow = res[:4], res[4]
         elif mode == "pallas":
+            # end positions are never consumed downstream of the fused
+            # path — track_pos=False drops 2 of 18 inner-loop ops
             best = bcsearch.bc_sweep_pallas(wins.astype(jnp.int32), peq_bc,
-                                            nvalid, m, bt=bt, nt=nt)
+                                            nvalid, m, bt=bt, nt=nt,
+                                            track_pos=False)
             overflow = jnp.zeros_like(best[0])
         else:
             N = peq_bc.shape[1]
@@ -1031,7 +1034,7 @@ class ReadScanModel:
         on_tpu = _jax.devices()[0].platform == "tpu"
         if mode is None:
             mode = "pallas" if on_tpu else "jnp"
-        nt = 512
+        nt = 1024  # must match make_scan_search_body's sweep tile
         used_peq = editdist.build_peq(patterns) if len(patterns) else \
             np.zeros((4, 1), np.uint32)
         N = ((max(n_valid, 1) + nt - 1) // nt) * nt

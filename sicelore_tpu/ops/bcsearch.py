@@ -32,55 +32,63 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _bc_sweep_kernel(nvalid_ref, win_ref, peq_ref, out_ref,
-                     PV, MV, score, best, bestpos, *, m: int, W: int):
+                     *, m: int, W: int, track_pos: bool):
+    """One (row-tile, barcode-tile) cell of the whitelist sweep.
+
+    The text loop is FULLY UNROLLED (W is static, ~22): a fori_loop
+    iteration costs ~1.3 us of fixed overhead on this target, which at
+    W=22 x 2048 grid cells was ~60 ms of pure loop tax per 32k-read
+    batch. State lives in vector registers, not VMEM scratch."""
     j = pl.program_id(1)
-    bt, nt = best.shape
+    bt = win_ref.shape[1]
+    nt = peq_ref.shape[1]
     full = jnp.uint32((1 << m) - 1) if m < 32 else jnp.uint32(0xFFFFFFFF)
     hibit = jnp.uint32(m - 1)
+    z = jnp.zeros((bt, nt), dtype=jnp.uint32)
 
-    PV[:] = jnp.full((bt, nt), full, dtype=jnp.uint32)
-    MV[:] = jnp.zeros((bt, nt), dtype=jnp.uint32)
-    score[:] = jnp.full((bt, nt), m, dtype=jnp.int32)
-    best[:] = jnp.full((bt, nt), m, dtype=jnp.int32)
-    bestpos[:] = jnp.full((bt, nt), -1, dtype=jnp.int32)
+    PV = z + full
+    MV = z
+    score = jnp.full((bt, nt), m, dtype=jnp.int32)
+    best = score
+    bestpos = jnp.full((bt, nt), -1, dtype=jnp.int32)
+    peq_rows = [peq_ref[c, :][None, :] for c in range(4)]
 
-    def body(t, _):
+    for t in range(W):
         # [bt, 1] int32 (reshape of a 32-bit vector is a supported no-op;
         # reshaping an i1 mask is not — compare after broadcasting)
         wc = win_ref[t, :][:, None]
-        z = jnp.zeros((bt, nt), dtype=jnp.uint32)
-        eq = jnp.where(wc == 0, peq_ref[0, :][None, :],
-              jnp.where(wc == 1, peq_ref[1, :][None, :],
-               jnp.where(wc == 2, peq_ref[2, :][None, :],
-                jnp.where(wc == 3, peq_ref[3, :][None, :], z))))
-        pv, mv, sc = PV[:], MV[:], score[:]
-        Xv = eq | mv
-        Xh = (((eq & pv) + pv) ^ pv) | eq
-        Ph = mv | ~(Xh | pv)
-        Mh = pv & Xh
-        sc = sc + ((Ph >> hibit) & jnp.uint32(1)).astype(jnp.int32)
-        sc = sc - ((Mh >> hibit) & jnp.uint32(1)).astype(jnp.int32)
+        eq = jnp.where(wc == 0, peq_rows[0],
+              jnp.where(wc == 1, peq_rows[1],
+               jnp.where(wc == 2, peq_rows[2],
+                jnp.where(wc == 3, peq_rows[3], z))))
+        Xv = eq | MV
+        Xh = (((eq & PV) + PV) ^ PV) | eq
+        Ph = MV | ~(Xh | PV)
+        Mh = PV & Xh
+        score = score + ((Ph >> hibit) & jnp.uint32(1)).astype(jnp.int32)
+        score = score - ((Mh >> hibit) & jnp.uint32(1)).astype(jnp.int32)
         Ph = Ph << jnp.uint32(1)  # free text start (search variant)
         Mh = Mh << jnp.uint32(1)
-        PV[:] = Mh | ~(Xv | Ph)
-        MV[:] = Ph & Xv
-        score[:] = sc
-        improved = sc < best[:]
-        bestpos[:] = jnp.where(improved, t, bestpos[:])
-        best[:] = jnp.where(improved, sc, best[:])
-        return 0
-
-    jax.lax.fori_loop(0, W, body, 0)
+        PV = Mh | ~(Xv | Ph)
+        MV = Ph & Xv
+        improved = score < best
+        if track_pos:
+            # full-shape t: a bare python-int scalar in this select crashes
+            # the Mosaic compile (relayout of a scalar into the vector
+            # layout), observed on the unrolled kernel
+            bestpos = jnp.where(improved,
+                                jnp.full((bt, nt), t, jnp.int32), bestpos)
+        best = jnp.minimum(score, best)
 
     # mask barcode lanes beyond the real whitelist size
     gidx = j * nt + jax.lax.broadcasted_iota(jnp.int32, (bt, nt), 1)
-    ed = jnp.where(gidx < nvalid_ref[0], best[:], BIG)
+    ed = jnp.where(gidx < nvalid_ref[0], best, BIG)
 
     # within-tile best / first-argmin / second-best / end position
     b1 = jnp.min(ed, axis=1)
     i1 = jnp.min(jnp.where(ed == b1[:, None], gidx, BIG), axis=1)
     b2 = jnp.min(jnp.where(gidx == i1[:, None], BIG, ed), axis=1)
-    pos = jnp.max(jnp.where(gidx == i1[:, None], bestpos[:], -1), axis=1)
+    pos = jnp.max(jnp.where(gidx == i1[:, None], bestpos, -1), axis=1)
 
     @pl.when(j == 0)
     def _():
@@ -100,17 +108,34 @@ def _bc_sweep_kernel(nvalid_ref, win_ref, peq_ref, out_ref,
         out_ref[2, :] = jnp.minimum(jnp.maximum(ob, b1), jnp.minimum(os2, b2))
 
 
-@functools.partial(jax.jit, static_argnames=("m", "bt", "nt", "interpret"))
+@functools.partial(jax.jit, static_argnames=("m", "bt", "nt", "interpret",
+                                             "track_pos"))
 def bc_sweep_pallas(windows: jax.Array, peq: jax.Array, nvalid: jax.Array,
-                    m: int, bt: int = 256, nt: int = 512, interpret: bool = False):
+                    m: int, bt: int = 256, nt: int = 512,
+                    interpret: bool = False, track_pos: bool = True):
     """windows [B, W] int32 (B multiple of bt), peq [4, N] uint32 (N multiple
     of nt), nvalid [1] int32 -> out [4, B] int32 rows:
-    best_ed, best_idx, second_ed, best_end_pos."""
+    best_ed, best_idx, second_ed, best_end_pos (-1 unless track_pos —
+    the fused scan path never consumes end positions; skipping the
+    tracking drops 2 of the 18 inner-loop ops)."""
     B, W = windows.shape
+    return _bc_sweep_tm(windows.T, peq, nvalid, m, bt=bt, nt=nt,
+                        interpret=interpret, track_pos=track_pos)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "bt", "nt", "interpret",
+                                             "track_pos"))
+def _bc_sweep_tm(windows_tm: jax.Array, peq: jax.Array, nvalid: jax.Array,
+                 m: int, bt: int = 256, nt: int = 512,
+                 interpret: bool = False, track_pos: bool = True):
+    """Text-major variant: windows_tm [W, B] (no transpose on the way in —
+    the fused Pallas scan emits BC windows text-major)."""
+    W, B = windows_tm.shape
     N = peq.shape[1]
     assert B % bt == 0 and N % nt == 0
     grid = (B // bt, N // nt)
-    kernel = functools.partial(_bc_sweep_kernel, m=m, W=W)
+    kernel = functools.partial(_bc_sweep_kernel, m=m, W=W,
+                               track_pos=track_pos)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -121,13 +146,6 @@ def bc_sweep_pallas(windows: jax.Array, peq: jax.Array, nvalid: jax.Array,
                 pl.BlockSpec((4, nt), lambda i, j, nv: (0, j), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((4, bt), lambda i, j, nv: (0, i), memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((bt, nt), jnp.uint32),
-                pltpu.VMEM((bt, nt), jnp.uint32),
-                pltpu.VMEM((bt, nt), jnp.int32),
-                pltpu.VMEM((bt, nt), jnp.int32),
-                pltpu.VMEM((bt, nt), jnp.int32),
-            ],
         ),
         out_shape=jax.ShapeDtypeStruct((4, B), jnp.int32),
         cost_estimate=pl.CostEstimate(
@@ -135,8 +153,12 @@ def bc_sweep_pallas(windows: jax.Array, peq: jax.Array, nvalid: jax.Array,
             bytes_accessed=B * W * 4 + N * 16 + B * 16,
             transcendentals=0,
         ),
+        # the unrolled state (6 live [bt, nt] i32 registers with track_pos)
+        # spills past the default 16M scoped-vmem budget
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
-    )(nvalid, windows.T, peq)
+    )(nvalid, windows_tm, peq)
 
 
 # ---------------------------------------------------------------------------
