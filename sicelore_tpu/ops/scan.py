@@ -49,7 +49,8 @@ def _rolling_count(ind: jax.Array, k: int) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("base", "k", "from_end"))
 def polyat_find(seqs: jax.Array, lens: jax.Array, *, base: int, k: int,
-                min_count: int, window: int, from_end: bool):
+                min_count: int, window: int, from_end: bool,
+                start_min: jax.Array | None = None):
     """Find the polyA/T run nearest a read end.
 
     Args:
@@ -59,6 +60,9 @@ def polyat_find(seqs: jax.Array, lens: jax.Array, *, base: int, k: int,
       window: max distance of the run end from the read end (3') or of the
         run start from the read start (5').
       from_end: True -> polyA near 3' end; False -> polyT near 5' start.
+      start_min: optional [B] int32 — window starts below this are not
+        in-read (right-aligned tail halves of the two-half composite, where
+        the read START sits mid-array; see ops.edgescan).
     Returns:
       found [B] bool, start [B] int32, end [B] int32 (inclusive, 0-based,
       tightened to first/last `base`), both -1 when not found.
@@ -73,6 +77,8 @@ def polyat_find(seqs: jax.Array, lens: jax.Array, *, base: int, k: int,
     pos = jnp.arange(npos, dtype=jnp.int32)[None, :]
     # window start positions must lie within the read
     inread = pos <= (lens[:, None] - k)
+    if start_min is not None:
+        inread &= pos >= start_min[:, None]
     passing = (counts >= min_count) & inread
     if from_end:
         # run end (pos + k - 1) within `window` of the read end
