@@ -50,11 +50,15 @@ NMETA_ROWS = 4                  # little-endian true-length rows
 PACK_ROWS = TEXT_ROWS + NMETA_ROWS
 BIG = 10**9
 
-# meta row indices of the body output ([NROWS(cfg), B] int32)
+# meta row indices of the body output ([NROWS(cfg), B] int32). Coordinate
+# rows are HALF-LOCAL (< 2E, int16-safe for the packed download even on
+# arbitrarily long reads): for FWD reads they are tail-half columns, for
+# REV reads head-half columns; `finalize_meta_np` maps them to true
+# stranded read coordinates on the host.
 (ROW_IS_FWD, ROW_STRANDED, ROW_HAS_POLYAT, ROW_PS, ROW_PE, ROW_AE,
  ROW_AD_ED, ROW_ADC_ED, ROW_AD_RUN, ROW_TSO_END, ROW_TSO_ED,
- ROW_XS, ROW_XE, ROW_KMER_LO, ROW_KMER_HI, ROW_KMER_VALID) = range(16)
-ROW_BC0 = 16
+ ROW_KMER_LO, ROW_KMER_HI, ROW_KMER_VALID) = range(14)
+ROW_BC0 = 14
 
 
 def bc_window_width(cfg: PipelineConfig) -> int:
@@ -197,21 +201,18 @@ def make_edge_scan2_jnp(cfg: PipelineConfig):
         stranded = ok_f | ok_r
         is_fwd = jnp.where(stranded, is_fwd, fwd_found)
 
-        # stranded-coordinate polyA/T run (true coords)
-        ps = jnp.where(is_fwd, fwd_ps + tshift, lens - 1 - rev_te)
-        pe = jnp.where(is_fwd, fwd_pe + tshift, lens - 1 - rev_ts)
+        # half-local coordinate rows (host finalizes to stranded coords)
         has_pat = jnp.where(is_fwd, fwd_found, rev_found)
-        ps = jnp.where(has_pat, ps, -1)
-        pe = jnp.where(has_pat, pe, -1)
+        ps_loc = jnp.where(is_fwd, fwd_ps, rev_te)
+        pe_loc = jnp.where(is_fwd, fwd_pe, rev_ts)
 
         if is5p:
-            ae = jnp.where(is_fwd, pos_f, pos_r)
+            ae_loc = jnp.where(is_fwd, pos_f, pos_r)   # already stranded
         else:
-            ae = jnp.where(is_fwd, (fwd_pe + awin - pos_f) + tshift,
-                           lens - 1 - (rev_ts - awin + pos_r))
+            ae_loc = jnp.where(is_fwd, fwd_pe + awin - pos_f,
+                               rev_ts - awin + pos_r)
         ad_ed = jnp.where(is_fwd, ed_f, ed_r)
         ad_pos_local = jnp.where(is_fwd, pos_f, pos_r)
-        ae = jnp.where(stranded, ae, -1)
 
         w_used = jnp.where(is_fwd[:, None], w_fwd, w_rev)
         edc, _ = scan.adapter_search(w_used, peq_adc, m_adc)
@@ -221,8 +222,12 @@ def make_edge_scan2_jnp(cfg: PipelineConfig):
         bc_windows = gather_window(w_used, jnp.full((B,), awin, jnp.int32),
                                    bc_start_local, bc_win)
 
-        # ---- TSO ----
-        t0 = (ae + 1 + bc_len) if is5p else jnp.zeros_like(lens)
+        # ---- TSO (stranded positions are < t0 + twin + 16: int16-safe) --
+        # 5p: the window starts after the BC, from the STRANDED-masked ae
+        # (unstranded reads search [bc_len, bc_len + twin) like the round-3
+        # body, whose masked ae = -1 fed this formula)
+        t0 = (jnp.where(stranded, ae_loc, -1) + 1 + bc_len) if is5p \
+            else jnp.zeros_like(lens)
         w5_f = gather_window(head, head_len, t0, twin)
         w5_r = gather_window(tail, elen, elen - twin - t0, twin, rc=True)
         w5 = jnp.where(is_fwd[:, None], w5_f, w5_r)
@@ -230,13 +235,6 @@ def make_edge_scan2_jnp(cfg: PipelineConfig):
         tso_found = tso_ed <= t.max_needleman_mismatches
         tso_end = jnp.where(tso_found,
                             t0 + tso_pos + (t.offset_tso_end - 1), -1)
-
-        if is5p:
-            xs = ae - nbases + 1
-            xe = ae + (x_len - nbases)
-        else:
-            xs = ae - (x_len - nbases)
-            xe = ae + nbases - 1
 
         # ---- BC kmer (pass-1 exact match) ----
         codes = bc_windows[:, pad:pad + bc_len].astype(jnp.uint32)
@@ -249,16 +247,15 @@ def make_edge_scan2_jnp(cfg: PipelineConfig):
         rows[ROW_IS_FWD] = is_fwd.astype(jnp.int32)
         rows[ROW_STRANDED] = stranded.astype(jnp.int32)
         rows[ROW_HAS_POLYAT] = has_pat.astype(jnp.int32)
-        rows[ROW_PS] = ps
-        rows[ROW_PE] = pe
-        rows[ROW_AE] = ae
-        rows[ROW_AD_ED] = jnp.where(stranded, ad_ed, BIG)
+        rows[ROW_PS] = ps_loc
+        rows[ROW_PE] = pe_loc
+        rows[ROW_AE] = ae_loc
+        rows[ROW_AD_ED] = jnp.where(stranded, jnp.minimum(ad_ed, 16384),
+                                    16384)
         rows[ROW_ADC_ED] = edc
         rows[ROW_AD_RUN] = ad_runs
         rows[ROW_TSO_END] = tso_end
         rows[ROW_TSO_ED] = tso_ed
-        rows[ROW_XS] = xs
-        rows[ROW_XE] = xe
         rows[ROW_KMER_LO] = (kmer & 0xFFFF).astype(jnp.int32)
         rows[ROW_KMER_HI] = (kmer >> 16).astype(jnp.int32)
         rows[ROW_KMER_VALID] = kvalid.astype(jnp.int32)
@@ -292,21 +289,58 @@ def make_edge_scan2_packed(cfg: PipelineConfig, use_pallas: bool | None = None):
     return fn
 
 
-def unpack_meta_np(meta: np.ndarray, cfg: PipelineConfig) -> dict:
-    """[n_rows, B] i32 -> the edge dict of models.readscan (host side)."""
+ED_SENTINEL = 16384  # int16-safe not-found marker in ROW_AD_ED
+
+
+def finalize_meta_np(meta: np.ndarray, true_lens: np.ndarray,
+                     cfg: PipelineConfig) -> dict:
+    """[n_rows, B] i32 half-local rows -> the edge dict of models.readscan
+    in TRUE STRANDED coordinates (host side, vectorized).
+
+    FWD coordinate rows are tail-half columns (true = col + L - E); REV
+    rows are head columns q (stranded = L - 1 - q). The local rows are
+    int16-safe regardless of read length — that keeps the device download
+    2 bytes/row even for >32 kb reads."""
+    L = np.asarray(true_lens).astype(np.int64)
+    is_fwd = meta[ROW_IS_FWD] != 0
+    stranded = meta[ROW_STRANDED] != 0
+    has_pat = meta[ROW_HAS_POLYAT] != 0
+    shift = L - E
+    is5p = getattr(cfg, "chemistry", "3p") == "5p"
+
+    def fin(loc, flip_rev=True):
+        loc = loc.astype(np.int64)
+        return np.where(is_fwd, loc + shift,
+                        (L - 1 - loc) if flip_rev else loc)
+
+    ps = np.where(has_pat, fin(meta[ROW_PS]), -1)
+    pe = np.where(has_pat, fin(meta[ROW_PE]), -1)
+    if is5p:
+        ae = np.where(stranded, meta[ROW_AE].astype(np.int64), -1)
+    else:
+        ae = np.where(stranded, fin(meta[ROW_AE]), -1)
+    nbases = cfg.readscanner.nbases_of_adapter_seq_in_readname
+    x_len = 40 + nbases
+    if is5p:
+        xs = ae - nbases + 1
+        xe = ae + (x_len - nbases)
+    else:
+        xs = ae - (x_len - nbases)
+        xe = ae + nbases - 1
+    ad_ed = meta[ROW_AD_ED].astype(np.int64)
     out = {
-        "is_fwd": meta[ROW_IS_FWD].astype(bool),
-        "stranded": meta[ROW_STRANDED].astype(bool),
-        "has_polyat": meta[ROW_HAS_POLYAT].astype(bool),
-        "ps": meta[ROW_PS], "pe": meta[ROW_PE], "ae": meta[ROW_AE],
-        "adapter_ed": meta[ROW_AD_ED],
+        "is_fwd": is_fwd, "stranded": stranded, "has_polyat": has_pat,
+        "ps": ps, "pe": pe, "ae": ae,
+        "adapter_ed": np.where(ad_ed >= ED_SENTINEL, BIG, ad_ed),
         "adapter_complete_ed": meta[ROW_ADC_ED],
         "adapter_run": meta[ROW_AD_RUN],
         "tso_end": meta[ROW_TSO_END], "tso_ed": meta[ROW_TSO_ED],
-        "x_start": meta[ROW_XS], "x_end": meta[ROW_XE],
+        "x_start": xs, "x_end": xe,
         "bc_kmer": ((meta[ROW_KMER_HI].astype(np.int64) << 16)
-                    | meta[ROW_KMER_LO]).astype(np.uint32),
+                    | (meta[ROW_KMER_LO].astype(np.int64) & 0xFFFF)
+                    ).astype(np.uint32),
         "bc_kmer_valid": meta[ROW_KMER_VALID] != 0,
+        "true_lens": np.asarray(true_lens),
     }
     out["bc_windows"] = meta[ROW_BC0:].T.astype(np.int8)
     return out

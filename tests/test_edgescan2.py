@@ -43,11 +43,10 @@ def _new_scan(cfg, seqs, quals):
     model = readscan.ReadScanModel(cfg)
     meta = np.asarray(body(jnp.asarray(packed), model.peq_ad,
                            model.peq_adc, model.peq_tso))
-    out = edgescan.unpack_meta_np(meta, cfg)
+    out = edgescan.finalize_meta_np(meta, lens, cfg)
     edgescan.compute_qvs2_np(qv2, lens, out,
                              cfg.barcodes.cell_bc_length,
                              cfg.chemistry == "5p", qsum)
-    out["true_lens"] = lens
     return out
 
 

@@ -1,0 +1,76 @@
+"""Real-TPU parity check: edge-scan Pallas kernel vs the jnp two-half body.
+
+Not pytest-collected (tests/conftest.py forces a CPU mesh, and the fully
+unrolled kernel cannot be interpreted on CPU in reasonable time). Run
+standalone on TPU hardware:  python tests/tpu_edge_parity.py
+The driver's bench (bench.py) also asserts the kernel's outputs
+behaviorally on every run (stranding + assignment rates).
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(B=4096, seed=23):
+    import jax.numpy as jnp
+
+    from sicelore_tpu.models import readscan
+    from sicelore_tpu.ops import edgescan as eg
+    from sicelore_tpu.ops.edgescan_tpu import make_edge_scan2_kernel
+    from sicelore_tpu.utils import synth
+    from sicelore_tpu.utils.config import PipelineConfig
+
+    rng = np.random.default_rng(seed)
+    cfg = PipelineConfig()
+    wl = synth.make_whitelist(rng, 48)
+    seqs, quals = [], []
+    for i in range(B):
+        u = i % 13
+        if u == 5:       # garbage / unstranded
+            L = int(rng.integers(20, 700))
+            s = synth.random_seq(rng, L).encode()
+            q = bytes([33 + int(x) for x in rng.integers(2, 40, L)])
+        elif u == 7:     # very long read
+            r = synth.make_read(rng, wl[i % 48],
+                               cdna_len=int(rng.integers(2000, 8000)),
+                               error_rate=0.06, reverse=bool(i % 2))
+            s, q = r["seq"], r["qual"]
+        else:
+            r = synth.make_read(rng, wl[i % 48],
+                               cdna_len=int(rng.integers(60, 1500)),
+                               error_rate=0.06, reverse=bool(i % 2))
+            s, q = r["seq"], r["qual"]
+        seqs.append(s)
+        quals.append(q)
+    packed, qv2, lens, dirty, qsum = eg.encode_composite_tm(seqs, quals)
+    model = readscan.ReadScanModel(cfg)
+    jbody = eg.make_edge_scan2_packed(cfg, use_pallas=False)
+    mj = np.asarray(jbody(jnp.asarray(packed), model.peq_ad, model.peq_adc,
+                          model.peq_tso))
+    kfn = make_edge_scan2_kernel(cfg)
+    t0 = time.time()
+    mk = np.asarray(kfn(jnp.asarray(packed), model.peq_ad, model.peq_adc,
+                        model.peq_tso))
+    print(f"kernel compile+run: {time.time() - t0:.1f}s")
+    r_run = cfg.readscanner.min_adapter3p_matches
+    a, b = mj.copy(), mk.copy()
+    a[eg.ROW_AD_RUN] = a[eg.ROW_AD_RUN] >= r_run
+    b[eg.ROW_AD_RUN] = b[eg.ROW_AD_RUN] >= r_run
+    ok = np.array_equal(a, b)
+    if not ok:
+        bad = np.nonzero((a != b).any(axis=0))[0]
+        print(f"MISMATCH rows for reads {bad[:10]}")
+        for i in bad[:3]:
+            rr = np.nonzero(a[:, i] != b[:, i])[0]
+            print(f"  read {i} (len {len(seqs[i])}): rows {rr}",
+                  a[rr, i], b[rr, i])
+    print("PARITY OK" if ok else "PARITY FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
