@@ -15,6 +15,7 @@
 #include <Python.h>
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <string>
@@ -582,7 +583,157 @@ PyObject *py_encode_tiles(PyObject *, PyObject *args) {
   return r;
 }
 
+// encode_composite_tm(seqs, quals, edge) -> (packed_tm, qv2, true_lens,
+// dirty, qsum): the round-4 TWO-HALF TEXT-MAJOR layout (ops.edgescan).
+//   packed_tm [2*edge/4 + 4, B] u8 — row r holds bases 4r..4r+3 of every
+//     read's composite (head left-aligned cols [0,edge), tail RIGHT-aligned
+//     cols [edge,2*edge)); the last 4 rows are little-endian true lengths
+//   qv2 [B, 2*edge] i8 quals in the same two-half layout
+//   qsum — sum of quals over the min(L, 2*edge) distinct covered positions
+// Byte-identical to edgescan.encode_composite_tm's numpy fallback
+// (tests/test_readscan.py::test_native_encode_tm_matches_numpy).
+PyObject *py_encode_composite_tm(PyObject *, PyObject *args) {
+  PyObject *seqs, *quals;
+  int edge;
+  if (!PyArg_ParseTuple(args, "OOi", &seqs, &quals, &edge)) return nullptr;
+  if (!PyList_Check(seqs) || !PyList_Check(quals)) {
+    PyErr_SetString(PyExc_TypeError, "seqs/quals must be lists of bytes");
+    return nullptr;
+  }
+  if (edge <= 0 || edge % 4 != 0) {
+    PyErr_SetString(PyExc_ValueError, "edge must be positive multiple of 4");
+    return nullptr;
+  }
+  Py_ssize_t B = PyList_GET_SIZE(seqs);
+  if (PyList_GET_SIZE(quals) != B) {
+    PyErr_SetString(PyExc_ValueError, "seqs/quals length mismatch");
+    return nullptr;
+  }
+  const int W = 2 * edge;
+  const int TEXT_ROWS = W / 4, PACK_ROWS = TEXT_ROWS + 4;
+  std::vector<Span> sp(B), qp(B);
+  for (Py_ssize_t i = 0; i < B; i++) {
+    PyObject *s = PyList_GET_ITEM(seqs, i);
+    PyObject *q = PyList_GET_ITEM(quals, i);
+    if (!PyBytes_Check(s) || !PyBytes_Check(q)) {
+      PyErr_SetString(PyExc_TypeError, "expected bytes elements");
+      return nullptr;
+    }
+    sp[i] = {(const uint8_t *)PyBytes_AS_STRING(s), PyBytes_GET_SIZE(s)};
+    qp[i] = {(const uint8_t *)PyBytes_AS_STRING(q), PyBytes_GET_SIZE(q)};
+  }
+  PyObject *packed_o =
+      PyByteArray_FromStringAndSize(nullptr, (Py_ssize_t)PACK_ROWS * B);
+  PyObject *qv_o = PyByteArray_FromStringAndSize(nullptr, (Py_ssize_t)B * W);
+  PyObject *tl_o = PyByteArray_FromStringAndSize(nullptr, B * 4);
+  PyObject *dr_o = PyByteArray_FromStringAndSize(nullptr, B);
+  PyObject *qs_o = PyByteArray_FromStringAndSize(nullptr, B * 4);
+  if (!packed_o || !qv_o || !tl_o || !dr_o || !qs_o) {
+    Py_XDECREF(packed_o); Py_XDECREF(qv_o); Py_XDECREF(tl_o);
+    Py_XDECREF(dr_o); Py_XDECREF(qs_o);
+    return nullptr;
+  }
+  uint8_t *packed = (uint8_t *)PyByteArray_AS_STRING(packed_o);
+  int8_t *qv = (int8_t *)PyByteArray_AS_STRING(qv_o);
+  int32_t *tl = (int32_t *)PyByteArray_AS_STRING(tl_o);
+  uint8_t *dr = (uint8_t *)PyByteArray_AS_STRING(dr_o);
+  int32_t *qs = (int32_t *)PyByteArray_AS_STRING(qs_o);
+
+  Py_BEGIN_ALLOW_THREADS
+  int nt = nthreads_for(B);
+  // threads own COLUMN BLOCKS of reads and encode into an L2-resident
+  // [PACK_ROWS, TB] tile, then memcpy rows out — the text-major global
+  // writes stay sequential per row
+  const Py_ssize_t TB = 256;
+  std::vector<Py_ssize_t> blocks;
+  for (Py_ssize_t b0 = 0; b0 < B; b0 += TB) blocks.push_back(b0);
+  std::atomic<size_t> next(0);
+  auto work = [&]() {
+    std::vector<uint8_t> codes(W);
+    std::vector<uint8_t> tile((size_t)PACK_ROWS * TB);
+    size_t bi;
+    while ((bi = next.fetch_add(1)) < blocks.size()) {
+      Py_ssize_t lo = blocks[bi];
+      Py_ssize_t hi = lo + TB < B ? lo + TB : B;
+      Py_ssize_t tb = hi - lo;
+      for (Py_ssize_t i = lo; i < hi; i++) {
+        const Py_ssize_t n = sp[i].n;
+        const int hl = (int)(n < edge ? n : edge);
+        bool dirty = false;
+        // head left-aligned
+        for (int k = 0; k < hl; k++) {
+          uint8_t c = ENC[sp[i].p[k]];
+          dirty |= (c == 0xFF);
+          codes[k] = c & 3;
+        }
+        for (int k = hl; k < edge; k++) codes[k] = 3;
+        // tail right-aligned (last hl bases end at column W-1)
+        for (int k = edge; k < W - hl; k++) codes[k] = 3;
+        const uint8_t *tp = sp[i].p + n - hl;
+        for (int k = 0; k < hl; k++) {
+          uint8_t c = ENC[tp[k]];
+          dirty |= (c == 0xFF);
+          codes[W - hl + k] = c & 3;
+        }
+        dr[i] = dirty ? 1 : 0;
+        tl[i] = (int32_t)n;
+        // pack text-major into the tile (stride tb per row)
+        uint8_t *col = tile.data() + (i - lo);
+        for (int r0 = 0; r0 < TEXT_ROWS; r0++) {
+          col[(size_t)r0 * tb] =
+              (uint8_t)((codes[4 * r0] << 6) | (codes[4 * r0 + 1] << 4) |
+                        (codes[4 * r0 + 2] << 2) | codes[4 * r0 + 3]);
+        }
+        uint32_t un = (uint32_t)n;
+        for (int r0 = 0; r0 < 4; r0++)
+          col[(size_t)(TEXT_ROWS + r0) * tb] = (uint8_t)(un >> (8 * r0));
+        // quals (row-major out) + qsum
+        int8_t *qrow = qv + (size_t)i * W;
+        const Py_ssize_t qn = qp[i].n;
+        const int qhl = (int)(qn < edge ? qn : edge);
+        int32_t sum = 0;
+        for (int k = 0; k < qhl; k++) {
+          uint8_t c = qp[i].p[k];
+          int8_t v = (int8_t)(c >= 33 ? c - 33 : 0);
+          qrow[k] = v;
+          sum += v;
+        }
+        for (int k = qhl; k < edge; k++) qrow[k] = 0;
+        for (int k = edge; k < W - qhl; k++) qrow[k] = 0;
+        const uint8_t *qt = qp[i].p + qn - qhl;
+        for (int k = 0; k < qhl; k++) {
+          uint8_t c = qt[k];
+          qrow[W - qhl + k] = (int8_t)(c >= 33 ? c - 33 : 0);
+        }
+        // qsum: head + non-overlapping tail positions (true coords >= the
+        // larger of edge and L-edge)
+        Py_ssize_t start2 = (Py_ssize_t)edge;
+        if (qn - edge > start2) start2 = qn - edge;
+        for (Py_ssize_t k2 = start2; k2 < qn; k2++) {
+          uint8_t c = qp[i].p[k2];
+          sum += (c >= 33 ? c - 33 : 0);
+        }
+        qs[i] = sum;
+      }
+      for (int r0 = 0; r0 < PACK_ROWS; r0++)
+        memcpy(packed + (size_t)r0 * B + lo, tile.data() + (size_t)r0 * tb,
+               (size_t)tb);
+    }
+  };
+  std::vector<std::thread> th;
+  for (int t = 0; t < nt; t++) th.emplace_back(work);
+  for (auto &t : th) t.join();
+  Py_END_ALLOW_THREADS
+
+  PyObject *r = PyTuple_Pack(5, packed_o, qv_o, tl_o, dr_o, qs_o);
+  Py_DECREF(packed_o); Py_DECREF(qv_o); Py_DECREF(tl_o);
+  Py_DECREF(dr_o); Py_DECREF(qs_o);
+  return r;
+}
+
 PyMethodDef methods[] = {
+    {"encode_composite_tm", py_encode_composite_tm, METH_VARARGS,
+     "fastq chunk -> round-4 two-half text-major packed composite"},
     {"encode_composite_2bit", py_encode_composite_2bit, METH_VARARGS,
      "fastq chunk -> (packed 2-bit composite, qv, comp_lens, true_lens, "
      "dirty, qsum) raw-bytes buffers"},

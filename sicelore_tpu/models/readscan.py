@@ -828,6 +828,183 @@ def encode_composite_2bit(seqs: list[bytes], quals: list[bytes],
 SEARCH_ROWS = 5  # best_ed, idx_lo, idx_hi, second_ed, overflow
 
 
+# ---------------------------------------------------------------------------
+# v2: two-half text-major scan (ops.edgescan + ops.edgescan_tpu kernel)
+# ---------------------------------------------------------------------------
+#
+# The round-4 production path. The composite ships TEXT-MAJOR 2-bit packed
+# ([PACK_ROWS, B] u8); on TPU the whole edge scan runs as one Pallas kernel
+# (~0.08 ms/32k reads vs ~90 ms for the round-3 jnp fusion), its BC-window
+# rows feed the whitelist sweep kernel text-major (no transposes), and the
+# downloaded int16 rows carry HALF-LOCAL coordinates finalized on the host
+# (edgescan.finalize_meta_np) — no remap pass, int16-safe for any length.
+
+from sicelore_tpu.ops import edgescan as eg2  # noqa: E402
+
+P2_ROWS = (eg2.ROW_IS_FWD, eg2.ROW_STRANDED, eg2.ROW_HAS_POLYAT,
+           eg2.ROW_PS, eg2.ROW_PE, eg2.ROW_AE, eg2.ROW_TSO_END)
+P2_ROW_NAMES = ("is_fwd", "stranded", "has_polyat", "ps", "pe", "ae",
+                "tso_end")
+P1_ROWS = (eg2.ROW_IS_FWD, eg2.ROW_STRANDED, eg2.ROW_HAS_POLYAT,
+           eg2.ROW_AE, eg2.ROW_AD_RUN, eg2.ROW_KMER_LO, eg2.ROW_KMER_HI,
+           eg2.ROW_KMER_VALID)
+P1_ROW_NAMES = ("is_fwd", "stranded", "has_polyat", "ae", "adapter_run",
+                "kmer_lo", "kmer_hi", "kmer_valid")
+
+
+def finalize_rows_np(arr: np.ndarray, names, true_lens: np.ndarray,
+                     cfg: PipelineConfig) -> dict:
+    """Host finalization of a downloaded int16 row subset: half-local
+    coordinates -> true stranded coords (see edgescan.finalize_meta_np)."""
+    rows = {n: arr[i].astype(np.int64) for i, n in enumerate(names)}
+    L = np.asarray(true_lens).astype(np.int64)
+    is_fwd = rows["is_fwd"] != 0
+    stranded = rows["stranded"] != 0
+    out = {"is_fwd": is_fwd, "stranded": stranded,
+           "true_lens": np.asarray(true_lens)}
+    if "has_polyat" in rows:
+        out["has_polyat"] = rows["has_polyat"] != 0
+    shift = L - eg2.E
+    is5p = getattr(cfg, "chemistry", "3p") == "5p"
+
+    def fin(loc):
+        return np.where(is_fwd, loc + shift, L - 1 - loc)
+
+    if "ps" in rows:
+        has_pat = out["has_polyat"]
+        out["ps"] = np.where(has_pat, fin(rows["ps"]), -1)
+        out["pe"] = np.where(has_pat, fin(rows["pe"]), -1)
+    if "ae" in rows:
+        ae = np.where(stranded,
+                      rows["ae"] if is5p else fin(rows["ae"]), -1)
+        out["ae"] = ae
+        nb = cfg.readscanner.nbases_of_adapter_seq_in_readname
+        if is5p:
+            out["x_start"] = ae - nb + 1
+            out["x_end"] = ae + 40
+        else:
+            out["x_start"] = ae - 40
+            out["x_end"] = ae + nb - 1
+    if "tso_end" in rows:
+        out["tso_end"] = rows["tso_end"]
+    if "adapter_run" in rows:
+        out["adapter_run"] = rows["adapter_run"]
+    if "kmer_lo" in rows:
+        out["bc_kmer"] = (((rows["kmer_hi"] & 0xFFFF) << 16)
+                          | (rows["kmer_lo"] & 0xFFFF)).astype(np.uint32)
+        out["bc_kmer_valid"] = rows["kmer_valid"] != 0
+    return out
+
+
+def make_scan_search2_body(cfg: PipelineConfig, mode: str, radius: int = 2,
+                           K: int = 64, bt: int = 256, nt: int = 1024):
+    """v2 fused edge scan + whitelist search over the text-major packed
+    composite. fn(packed_tm [PACK_ROWS, S] u8, peq_ad, peq_adc, peq_tso,
+    peq_bc, nvalid, qgram_t) -> int16 [len(P2_ROWS) + SEARCH_ROWS, S]."""
+    from sicelore_tpu.ops import bcsearch
+
+    body = eg2.make_edge_scan2_packed(cfg)
+    m = cfg.barcodes.cell_bc_length
+    bw = eg2.bc_window_width(cfg)
+
+    def fn(packed_tm, peq_ad, peq_adc, peq_tso, peq_bc, nvalid, qgram_t):
+        meta = body(packed_tm, peq_ad, peq_adc, peq_tso)
+        wins_tm = meta[eg2.ROW_BC0:eg2.ROW_BC0 + bw]          # [bw, S] i32
+        if mode == "pallas":
+            best = bcsearch._bc_sweep_tm(wins_tm, peq_bc, nvalid, m,
+                                         bt=bt, nt=nt, track_pos=False)
+            overflow = jnp.zeros_like(best[0])
+        elif mode == "prefilter":
+            res = bcsearch.qgram_prefilter_search(
+                jnp.transpose(wins_tm).astype(jnp.int8), qgram_t, peq_bc,
+                nvalid, m, radius, K)
+            best, overflow = res[:4], res[4]
+        else:
+            N = peq_bc.shape[1]
+            ed, pos = editdist.myers_sweep(
+                jnp.transpose(wins_tm).astype(jnp.int8), peq_bc, m)
+            gidx = jnp.arange(N, dtype=jnp.int32)[None, :]
+            ed = jnp.where(gidx < nvalid[0], ed, bcsearch.BIG)
+            b1, i1, b2, _ = editdist.best_two(ed)
+            p1 = jnp.take_along_axis(pos, i1[:, None], axis=1)[:, 0]
+            best = jnp.stack([b1, i1, b2, p1], axis=0)
+            overflow = jnp.zeros_like(b1)
+        meta16 = jnp.stack([jnp.clip(meta[r], -I16_BIG, I16_BIG)
+                            for r in P2_ROWS], axis=0).astype(jnp.int16)
+        brows = jnp.stack([
+            jnp.clip(best[0], -I16_BIG, I16_BIG),
+            best[1] & 0xFFFF,
+            best[1] >> 16,
+            jnp.clip(best[2], -I16_BIG, I16_BIG),
+            overflow], axis=0).astype(jnp.int16)
+        return jnp.concatenate([meta16, brows], axis=0)
+
+    return fn
+
+
+def make_pass1_body2(cfg: PipelineConfig):
+    """v2 pass-1 body: fn(packed_tm, peq_ad, peq_adc, peq_tso) -> int16
+    [len(P1_ROWS), S]."""
+    body = eg2.make_edge_scan2_packed(cfg)
+
+    def fn(packed_tm, peq_ad, peq_adc, peq_tso):
+        meta = body(packed_tm, peq_ad, peq_adc, peq_tso)
+        # plain wrap-cast: the kmer rows are uint16-valued (the host
+        # re-masks & 0xFFFF); every other P1 row fits int16 natively
+        return jnp.stack([meta[r] for r in P1_ROWS],
+                         axis=0).astype(jnp.int16)
+
+    return fn
+
+
+def make_mega2(inner, n_extra: int):
+    """Span dispatcher over [C, PACK_ROWS, S] slice stacks; returns
+    [rows, C*S]. On TPU the whole span runs as ONE flat inner call (the
+    edge kernel + sweep grids scale with B; a lax.map layer only adds
+    per-step dispatch overhead) — elsewhere slices run through lax.map to
+    bound the jnp fusion size."""
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+
+    if on_tpu:
+        @jax.jit
+        def mega(stack3, *args):
+            C, R, S = stack3.shape
+            flat = jnp.transpose(stack3, (1, 0, 2)).reshape(R, C * S)
+            return inner(flat, *args)
+    else:
+        @jax.jit
+        def mega(stack3, *args):
+            C, R, S = stack3.shape
+            res = jax.lax.map(lambda p: inner(p, *args), stack3)
+            return jnp.transpose(res, (1, 0, 2)).reshape(res.shape[1],
+                                                         C * S)
+
+    return mega
+
+
+def make_sharded2(inner, mesh, n_args: int, data_axis: str = "data"):
+    """Multi-chip v2 dispatcher: slice stacks data-parallel over the mesh
+    (whitelist/patterns replicated; per-read rows need no collective).
+    Returns [rows, C*S] — each device emits its contiguous column span."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def local(stack3, *args):
+        C, R, S = stack3.shape
+        res = jax.lax.map(lambda p: inner(p, *args), stack3)
+        return jnp.transpose(res, (1, 0, 2)).reshape(res.shape[1], C * S)
+
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(data_axis),) + (P(),) * n_args,
+        out_specs=P(None, data_axis), check_vma=False)
+    sh = NamedSharding(mesh, P(data_axis))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(sharded, in_shardings=(sh,) + (rep,) * n_args)
+
+
 def make_scan_search_body(cfg: PipelineConfig, mode: str, radius: int = 2,
                           K: int = 64, bt: int = 256, nt: int = 1024):
     """Fused edge scan + whitelist search body (un-jitted; composed into
@@ -1056,28 +1233,81 @@ class ReadScanModel:
         key = (mode, radius, K)
         fn = self._mega_cache.get(key)
         if fn is None:
+            inner = make_scan_search2_body(self.cfg, mode, radius, K)
             if self.mesh is not None:
-                fn = make_scan_search_sharded_fn(
-                    self.cfg, self.mesh, mode, radius, K, self.data_axis)
+                fn = make_sharded2(inner, self.mesh, 6, self.data_axis)
             else:
-                fn = make_scan_search_map_fn(self.cfg, mode, radius, K)
+                fn = make_mega2(inner, 6)
             self._mega_cache[key] = fn
         self._mega_fn = fn
 
-    # -- fused pass-1 scan (meta + exact BC kmer, 1 RPC each way) --------
+    # -- v2 dispatch helpers (text-major slice stacks) -------------------
 
-    def _unpack_pass1(self, arr, qv, comp_lens, true_lens, qsum=None):
-        K = len(P1_META_KEYS)
-        out = unpack_edge_meta(arr[:K], P1_META_KEYS)
-        compute_qvs_np(qv, comp_lens, out, self.cfg.barcodes.cell_bc_length,
-                       self.is5p, qsum)
-        out["ae"] = remap_composite(out["ae"], true_lens)
-        out["true_lens"] = true_lens
-        lo = arr[K].astype(np.int64) & 0xFFFF
-        hi = arr[K + 1].astype(np.int64) & 0xFFFF
-        out["bc_kmer"] = ((hi << 16) | lo).astype(np.uint32)
-        out["bc_kmer_valid"] = arr[K + 2] != 0
-        return out
+    def _stack3(self, packed_tm: np.ndarray, B: int):
+        """[PACK_ROWS, B] u8 -> ([C, PACK_ROWS, S] stack, greedy pow2
+        spans); padding columns carry length 0 (inert reads)."""
+        S = self.SLICE
+        g = self._gran
+        R = packed_tm.shape[0]
+        C = max((B + S - 1) // S, 1)
+        C = ((C + g - 1) // g) * g
+        total = C * S
+        if packed_tm.shape[1] != total:
+            full = np.zeros((R, total), np.uint8)
+            full[:, :packed_tm.shape[1]] = packed_tm
+        else:
+            full = packed_tm
+        arr3 = np.ascontiguousarray(
+            full.reshape(R, C, S).transpose(1, 0, 2))
+        spans, c0 = [], 0
+        while c0 < C:
+            take = g
+            while take * 2 <= min(self.MAX_C * g, C - c0):
+                take *= 2
+            spans.append((c0, take))
+            c0 += take
+        return arr3, spans
+
+    def _jnp2(self):
+        if not hasattr(self, "_jnp2_body"):
+            self._jnp2_body = eg2.make_edge_scan2_jnp(self.cfg)
+        return self._jnp2_body
+
+    def _scan2_sync(self, seqs: list[bytes], quals: list[bytes],
+                    with_search: bool):
+        """Exact int8 fallback (N bases / overflow / split parts): jnp
+        two-half body + full host finalization (+ whitelist search)."""
+        from sicelore_tpu.ops import bcsearch
+        head, tail, qv2, lens, qsum = eg2.encode_two_half_int8(seqs, quals)
+        B = len(seqs)
+        Bp = bucket_length(max(B, 1), 8)
+        if Bp != B:
+            pad_h = np.full((Bp - B, eg2.E), dna.PAD, np.int8)
+            head = np.concatenate([head, pad_h])
+            tail = np.concatenate([tail, pad_h])
+            lens_p = np.concatenate([lens, np.zeros(Bp - B, np.int32)])
+        else:
+            lens_p = lens
+        meta = np.asarray(self._jnp2()(
+            jnp.asarray(head), jnp.asarray(tail),
+            jnp.asarray(lens_p, dtype=jnp.int32),
+            self.peq_ad, self.peq_adc, self.peq_tso))[:, :B]
+        out = eg2.finalize_meta_np(meta, lens, self.cfg)
+        eg2.compute_qvs2_np(qv2, lens, out,
+                            self.cfg.barcodes.cell_bc_length, self.is5p,
+                            qsum)
+        if not with_search:
+            return out, None
+        bc = bcsearch.bc_search(out["bc_windows"].astype(np.int32),
+                                self._peq_raw, self._n_valid,
+                                self.cfg.barcodes.cell_bc_length)
+        if self._mode == "prefilter":
+            r = self._radius
+            bc["ed2"] = np.where(bc["ed2"] > r, editdist.INT_MAX, bc["ed2"])
+            over = bc["ed"] > r
+            bc["ed"] = np.where(over, bcsearch_BIG_MIN, bc["ed"])
+            bc["idx"] = np.where(over, bcsearch_BIG_MIN, bc["idx"])
+        return out, bc
 
     def _slices(self, full: np.ndarray):
         """Cut the padded row matrix into a [C, SLICE, E] stack with C a
@@ -1102,46 +1332,37 @@ class ReadScanModel:
         return arr3, spans
 
     def scan_pass1(self, seqs: list[bytes], quals: list[bytes]):
-        """Composite edge scan + exact-BC kmer extraction; returns the
-        edge dict (coords remapped) plus 'bc_kmer' uint32 and
-        'bc_kmer_valid' bool arrays. 2-bit lax.map mega batches; reads with
-        N bases re-run through the exact 4-bit fallback."""
-        if not hasattr(self, "_pass1_mega"):
+        """v2 pass-1: text-major packed composite -> edge meta + exact-BC
+        kmer (true stranded coords). On TPU the edge scan is the Pallas
+        kernel; reads with N bases re-run through the exact int8
+        fallback."""
+        if not hasattr(self, "_pass1_mega2"):
+            inner = make_pass1_body2(self.cfg)
             if self.mesh is not None:
-                self._pass1_mega = make_pass1_sharded_fn(
-                    self.cfg, self.peq_ad, self.peq_adc, self.peq_tso,
-                    self.mesh, self.data_axis)
+                self._pass1_mega2 = make_sharded2(inner, self.mesh, 3,
+                                                  self.data_axis)
             else:
-                self._pass1_mega = make_pass1_map_fn(
-                    self.cfg, self.peq_ad, self.peq_adc, self.peq_tso)
-        packed, qv, comp_lens, true_lens, dirty, qsum = encode_composite_2bit(
+                self._pass1_mega2 = make_mega2(inner, 3)
+        packed_tm, qv2, true_lens, dirty, qsum = eg2.encode_composite_tm(
             seqs, quals)
         B = len(seqs)
-        lens_up = np.where(dirty, 0, comp_lens).astype("<u4")
-        full = np.concatenate(
-            [packed, lens_up.view(np.uint8).reshape(-1, 4)], axis=1)
-        arr3, spans = self._slices(full)
-        parts = [self._pass1_mega(jnp.asarray(arr3[c0:c0 + take]))
+        if dirty.any():
+            packed_tm[eg2.TEXT_ROWS:, dirty] = 0   # length 0: inert
+        arr3, spans = self._stack3(packed_tm, B)
+        parts = [self._pass1_mega2(jnp.asarray(arr3[c0:c0 + take]),
+                                   self.peq_ad, self.peq_adc, self.peq_tso)
                  for c0, take in spans]
         _prefetch(parts)
-        R = len(P1_META_KEYS) + 3
-        arr = np.concatenate(
-            [np.asarray(h).transpose(1, 0, 2).reshape(R, -1) for h in parts],
-            axis=1)[:, :B]
-        out = self._unpack_pass1(arr, qv, comp_lens, true_lens, qsum)
+        arr = np.concatenate([np.asarray(h) for h in parts],
+                             axis=1)[:, :B]
+        out = finalize_rows_np(arr, P1_ROW_NAMES, true_lens, self.cfg)
+        eg2.compute_qvs2_np(qv2, true_lens, out,
+                            self.cfg.barcodes.cell_bc_length, self.is5p,
+                            qsum, need_x=False)
         if dirty.any():
-            if not hasattr(self, "_pass1_fn"):
-                self._pass1_fn = make_pass1_fn(self.cfg, self.peq_ad,
-                                               self.peq_adc, self.peq_tso)
             idxs = np.nonzero(dirty)[0]
-            codes, qv_d, cl_d, tl_d = encode_composite(
-                [seqs[i] for i in idxs], [quals[i] for i in idxs])
-            packed4, lens_p, Bd = self._pack_batch(codes, cl_d)
-            full4 = np.concatenate(
-                [packed4, lens_p.astype("<u4").view(np.uint8).reshape(-1, 4)],
-                axis=1)
-            sub_arr = np.asarray(self._pass1_fn(jnp.asarray(full4)))[:, :Bd]
-            sub = self._unpack_pass1(sub_arr, qv_d, cl_d, tl_d)
+            sub, _ = self._scan2_sync([seqs[i] for i in idxs],
+                                      [quals[i] for i in idxs], False)
             for k, v in sub.items():
                 if k in out and out[k].ndim == 1:
                     out[k][idxs] = v
@@ -1159,61 +1380,47 @@ class ReadScanModel:
     MAX_C = 16  # max slices per mega dispatch (one RPC pair each way)
 
     def scan_search_async(self, seqs: list[bytes], quals: list[bytes]):
-        """Dispatch composite edge scan + BC search; returns device handles
-        WITHOUT blocking — force with `finish_search` while the device
-        works on the next batch.
+        """Dispatch the v2 fused edge scan + BC search; returns device
+        handles WITHOUT blocking — force with `finish_search` while the
+        device works on the next batch.
 
-        2-bit composites ride lax.map mega batches: the whole chunk is a
-        handful of RPC pairs (greedy power-of-two decomposition of the
-        slice count bounds compiled shapes to {1,2,4,8,16} slices). Reads
-        with N bases (unrepresentable in 2 bits) upload with length 0 and
-        are re-run through the exact 4-bit path in finish_search."""
-        packed, qv, comp_lens, true_lens, dirty, qsum = encode_composite_2bit(
+        The text-major packed composite rides lax.map mega batches (greedy
+        power-of-two span decomposition bounds compiled shapes); on TPU
+        the edge scan inside each slice is the Pallas kernel and its BC
+        windows feed the whitelist sweep text-major. Reads with N bases
+        upload with length 0 and re-run through the exact int8 path in
+        finish_search."""
+        packed_tm, qv2, true_lens, dirty, qsum = eg2.encode_composite_tm(
             seqs, quals)
         B = len(seqs)
-        lens_up = np.where(dirty, 0, comp_lens).astype("<u4")
-        full = np.concatenate(
-            [packed, lens_up.view(np.uint8).reshape(-1, 4)], axis=1)
-        arr3, spans = self._slices(full)
+        if dirty.any():
+            packed_tm[eg2.TEXT_ROWS:, dirty] = 0
+        arr3, spans = self._stack3(packed_tm, B)
         parts = [self._mega_fn(jnp.asarray(arr3[c0:c0 + take]), self.peq_ad,
                                self.peq_adc, self.peq_tso, self._peq_bc,
                                self._nvalid, self._qgram_t)
                  for c0, take in spans]
         _prefetch(parts)
-        return parts, qv, comp_lens, true_lens, dirty, seqs, quals, B, qsum
+        return parts, qv2, true_lens, dirty, seqs, quals, B, qsum
 
     def _scan_search_sync(self, seqs: list[bytes], quals: list[bytes]):
-        """Exact 4-bit fallback (handles N bases; serves dirty/overflow
-        reads). Brute-sweeps the whole used list; in prefilter mode the
-        results are radius-masked to match the fused path's semantics."""
-        from sicelore_tpu.ops import bcsearch
-        out = self.scan_reads(seqs, quals)
-        bc = bcsearch.bc_search(out["bc_windows"].astype(np.int32),
-                                self._peq_raw, self._n_valid,
-                                self.cfg.barcodes.cell_bc_length)
-        if self._mode == "prefilter":
-            r = self._radius
-            bc["ed2"] = np.where(bc["ed2"] > r, editdist.INT_MAX, bc["ed2"])
-            over = bc["ed"] > r
-            bc["ed"] = np.where(over, bcsearch_BIG_MIN, bc["ed"])
-            bc["idx"] = np.where(over, bcsearch_BIG_MIN, bc["idx"])
-        return out, bc
+        """Exact int8 fallback (handles N bases; serves dirty/overflow
+        reads and re-scanned split parts). Brute-sweeps the whole used
+        list; in prefilter mode the results are radius-masked to match
+        the fused path's semantics."""
+        return self._scan2_sync(seqs, quals, True)
 
     def finish_search(self, handles):
         """Force a scan_search_async result -> (edge dict, best dict)."""
-        parts, qv, comp_lens, true_lens, dirty, seqs, quals, B, qsum = handles
-        R = len(P2_META_KEYS) + SEARCH_ROWS
-        arr = np.concatenate(
-            [np.asarray(h).transpose(1, 0, 2).reshape(R, -1) for h in parts],
-            axis=1)[:, :B]
-        K = len(P2_META_KEYS)
-        out = unpack_edge_meta(arr[:K], P2_META_KEYS)
-        # QVs from the composite qual matrix, in composite coords
-        compute_qvs_np(qv, comp_lens, out, self.cfg.barcodes.cell_bc_length,
-                       self.is5p, qsum)
-        for key in ("ps", "pe", "ae", "x_start", "x_end"):
-            out[key] = remap_composite(out[key], true_lens)
-        out["true_lens"] = true_lens
+        parts, qv2, true_lens, dirty, seqs, quals, B, qsum = handles
+        arr = np.concatenate([np.asarray(h) for h in parts],
+                             axis=1)[:, :B]
+        K = len(P2_ROWS)
+        out = finalize_rows_np(arr[:K], P2_ROW_NAMES, true_lens, self.cfg)
+        # pass-2 emit consumes only x_qv (bc/read QV are pass-1 criteria)
+        eg2.compute_qvs2_np(qv2, true_lens, out,
+                            self.cfg.barcodes.cell_bc_length, self.is5p,
+                            qsum, need_bc=False, need_read=False)
         b = arr[K:K + 4].astype(np.int64)
         idx = (b[1] & 0xFFFF) | (b[2] << 16)
         ed = np.where(b[0] >= I16_BIG, bcsearch_BIG_MIN, b[0])

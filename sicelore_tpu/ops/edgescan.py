@@ -121,6 +121,29 @@ def encode_composite_tm(seqs: list[bytes], quals: list[bytes]):
     return out, qv2, true_lens, dirty, qsum
 
 
+def encode_two_half_int8(seqs: list[bytes], quals: list[bytes]):
+    """Exact int8 two-half encoding (N-safe; serves dirty/fallback reads).
+
+    Returns (head [B, E] i8, tail [B, E] i8 — PAD outside the read —
+    qv2 [B, 2E] i8, true_lens [B] i32, qsum [B] i32)."""
+    B = len(seqs)
+    z = b"\x00"
+    true_lens = np.fromiter((len(s) for s in seqs), dtype=np.int32, count=B)
+    sbuf = b"".join(s[:E].ljust(E, z) + s[-E:].rjust(E, z) for s in seqs)
+    codes = _ENC_PAD0[np.frombuffer(sbuf, np.uint8)].reshape(B, 2 * E)
+    qbuf = b"".join(q[:E].ljust(E, z) + q[-E:].rjust(E, z) for q in quals)
+    qarr = np.frombuffer(qbuf, np.uint8).reshape(B, 2 * E)
+    qv2 = np.where(qarr >= 33, qarr.astype(np.int16) - 33, 0).astype(np.int8)
+    cols = np.arange(2 * E, dtype=np.int32)[None, :]
+    hl = np.minimum(true_lens, E)[:, None]
+    codes = np.where((cols < hl) | (cols >= 2 * E - hl), codes,
+                     np.int8(dna.PAD))
+    tshift = np.maximum(true_lens - E, 0)[:, None]
+    qs_m = (cols < hl) | (cols >= 2 * E - tshift)
+    qsum = np.where(qs_m, qv2.astype(np.int32), 0).sum(axis=1)
+    return codes[:, :E], codes[:, E:], qv2, true_lens, qsum
+
+
 def unpack_tm(packed_tm: jax.Array):
     """Device-side inverse: [PACK_ROWS, B] u8 -> (head [B, E] i8,
     tail [B, E] i8 — PAD-masked outside the read — lens [B] i32)."""
@@ -348,11 +371,15 @@ def finalize_meta_np(meta: np.ndarray, true_lens: np.ndarray,
 
 def compute_qvs2_np(qv2: np.ndarray, true_lens: np.ndarray, out: dict,
                     bc_len: int, is5p: bool = False,
-                    qsum: np.ndarray | None = None) -> None:
+                    qsum: np.ndarray | None = None,
+                    need_bc: bool = True, need_x: bool = True,
+                    need_read: bool = True) -> None:
     """Host-side QV means over the two-half qual matrix (true stranded
     coordinates in `out`). Mirrors models.readscan.compute_qvs_np; the
     column map sends true coord q to head col q (q < E) or tail col
-    q - L + 2E."""
+    q - L + 2E. The need_* flags skip windows a pass never consumes
+    (pass 2 reads only x_qv, pass 1 only read/bc_qv) — each window mean
+    costs ~20 ms per 32k reads in numpy."""
     B = qv2.shape[0]
     L2 = 2 * E
     lens = np.asarray(true_lens).astype(np.int64)
@@ -365,8 +392,9 @@ def compute_qvs2_np(qv2: np.ndarray, true_lens: np.ndarray, out: dict,
     # mean over the composite quals (min(L, 2E) distinct positions) — the
     # contiguous path's semantic: for reads longer than the composite the
     # read QV is the head+tail mean, not sum/L
-    out["read_qv"] = (qsum / np.maximum(np.minimum(lens, L2), 1)
-                      ).astype(np.float32)
+    if need_read:
+        out["read_qv"] = (qsum / np.maximum(np.minimum(lens, L2), 1)
+                          ).astype(np.float32)
     is_fwd = out["is_fwd"]
     ae = out["ae"]
     rows = np.arange(B)[:, None]
@@ -385,9 +413,10 @@ def compute_qvs2_np(qv2: np.ndarray, true_lens: np.ndarray, out: dict,
         w = qv2[rows, col].astype(np.int32)
         return ((w * m).sum(axis=1) / n).astype(np.float32)
 
-    if "x_start" in out:
+    if need_x and "x_start" in out:
         out["x_qv"] = window_mean(out["x_start"], out["x_end"])
-    if is5p:
-        out["bc_qv"] = window_mean(ae + 1, ae + bc_len)
-    else:
-        out["bc_qv"] = window_mean(ae - bc_len, ae - 1)
+    if need_bc:
+        if is5p:
+            out["bc_qv"] = window_mean(ae + 1, ae + bc_len)
+        else:
+            out["bc_qv"] = window_mean(ae - bc_len, ae - 1)

@@ -227,3 +227,42 @@ def test_native_encode_matches_numpy():
     assert np.array_equal(np.frombuffer(dr, np.uint8).astype(bool), dirty_ref)
     assert np.array_equal(np.frombuffer(qs, np.int32),
                           qv_ref.sum(axis=1, dtype=np.int32))
+
+
+def test_native_encode_tm_matches_numpy():
+    """native encode_composite_tm must be byte-identical to the numpy
+    fallback (two-half text-major layout incl. dirty/qsum)."""
+    import sicelore_tpu.io.native as nat
+    from sicelore_tpu.ops import edgescan as eg
+    ext = nat.get_hostenc()
+    if ext is None or not hasattr(ext, "encode_composite_tm"):
+        import pytest
+        pytest.skip("native hostenc unavailable")
+    rng = np.random.default_rng(9)
+    from sicelore_tpu.utils import synth
+    wl = synth.make_whitelist(rng, 8)
+    seqs, quals = [], []
+    for i in range(300):
+        r = synth.make_read(rng, wl[i % 8],
+                            cdna_len=int(rng.integers(10, 1500)),
+                            error_rate=0.05, reverse=bool(i % 2))
+        seqs.append(r["seq"])
+        quals.append(r["qual"])
+    seqs[3] = seqs[3][:50] + b"N" + seqs[3][51:]
+    seqs[11] = b"ACGTN" * 2
+    quals[11] = b"IIIII" * 2
+    B = len(seqs)
+    saved, nat._hostenc = nat._hostenc, None
+    saved_t, nat._hostenc_tried = nat._hostenc_tried, True
+    try:
+        p0, q0, l0, d0, s0 = eg.encode_composite_tm(seqs, quals)
+    finally:
+        nat._hostenc, nat._hostenc_tried = saved, saved_t
+    p, q, tl, dr, qs = ext.encode_composite_tm(seqs, quals, eg.E)
+    assert np.array_equal(
+        np.frombuffer(p, np.uint8).reshape(eg.PACK_ROWS, B), p0)
+    assert np.array_equal(
+        np.frombuffer(q, np.int8).reshape(B, 2 * eg.E), q0)
+    assert np.array_equal(np.frombuffer(tl, np.int32), l0)
+    assert np.array_equal(np.frombuffer(dr, np.uint8).astype(bool), d0)
+    assert np.array_equal(np.frombuffer(qs, np.int32), s0)
