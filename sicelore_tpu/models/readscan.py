@@ -1442,10 +1442,30 @@ class ReadScanModel:
 
     def internal_tiles_async(self, seqs: list[bytes]):
         """Dispatch the tiled chimera scan for a chunk; None when no read
-        is long enough. Force with finish_internal_tiles."""
+        is long enough. Force with finish_internal_tiles. On single-chip
+        TPU the whole batch runs as one Pallas kernel call (the jnp
+        lax.map formulation was ~750 ms/32k of dispatch+drain — the
+        largest device term of the warm e2e)."""
         rows, read_idx, g0s = build_tiles(seqs, self.cfg)
         if len(rows) == 0:
             return None
+        on_tpu = False
+        if self.mesh is None:
+            try:
+                on_tpu = jax.devices()[0].platform == "tpu"
+            except Exception:
+                pass
+        if on_tpu:
+            from sicelore_tpu.ops import tilescan_tpu
+            if not hasattr(self, "_tile_kfn"):
+                self._tile_kfn = tilescan_tpu.make_tile_scan_kernel(self.cfg)
+            T = len(rows)
+            Tp = bucket_length(T, 1024)
+            rows_tm = np.zeros((rows.shape[1], Tp), np.uint8)
+            rows_tm[:, :T] = rows.T
+            parts = [self._tile_kfn(jnp.asarray(rows_tm))]
+            _prefetch(parts)
+            return parts, read_idx, g0s, T
         if not hasattr(self, "_tile_fn"):
             if self.mesh is not None:
                 self._tile_fn = make_internal_tile_sharded_fn(
@@ -1466,7 +1486,8 @@ class ReadScanModel:
             return {}, set()
         parts, read_idx, g0s, T = handle
         arr = np.concatenate(
-            [np.asarray(h).transpose(1, 0, 2).reshape(3, -1)
+            [np.asarray(h) if h.ndim == 2
+             else np.asarray(h).transpose(1, 0, 2).reshape(3, -1)
              for h in parts], axis=1)[:, :T].astype(np.int32)
         n, s0, s1 = arr[0], arr[1], arr[2]
         hot = np.nonzero(n > 0)[0]

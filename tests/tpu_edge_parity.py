@@ -72,5 +72,63 @@ def main(B=4096, seed=23):
     return 0 if ok else 1
 
 
+def main_tiles(seed=31):
+    """Tile-scan kernel vs the jnp inner on chimera-bearing long reads."""
+    import jax.numpy as jnp
+
+    from sicelore_tpu.models import readscan
+    from sicelore_tpu.ops import tilescan_tpu
+    from sicelore_tpu.utils import synth
+    from sicelore_tpu.utils.config import PipelineConfig
+
+    rng = np.random.default_rng(seed)
+    cfg = PipelineConfig()
+    wl = synth.make_whitelist(rng, 16)
+    seqs = []
+    for i in range(400):
+        u = i % 5
+        if u == 0:
+            r = synth.make_chimera(rng, wl[i % 16], wl[(i + 3) % 16],
+                                   cdna_len=int(rng.integers(400, 1200)))
+        elif u == 1:
+            r = synth.make_read(rng, wl[i % 16],
+                                cdna_len=int(rng.integers(2000, 9000)),
+                                error_rate=0.06, reverse=bool(i % 2))
+        else:
+            r = synth.make_read(rng, wl[i % 16],
+                                cdna_len=int(rng.integers(500, 2000)),
+                                error_rate=0.06, reverse=bool(i % 2))
+        seqs.append(r["seq"])
+    rows, read_idx, g0s = readscan.build_tiles(seqs, cfg)
+    T = len(rows)
+    print(f"tiles: {T}")
+    model = readscan.ReadScanModel(cfg)
+    inner = readscan._make_internal_tile_inner(cfg)
+    S = 256
+    Tpad = (T + S - 1) // S * S
+    rows_p = np.zeros((Tpad, rows.shape[1]), np.uint8)
+    rows_p[:T] = rows
+    outs = [np.asarray(inner(jnp.asarray(rows_p[o:o + S]), model.peq_adc))
+            for o in range(0, Tpad, S)]
+    ref = np.concatenate(outs, axis=1)[:, :T].astype(np.int32)
+    kfn = tilescan_tpu.make_tile_scan_kernel(cfg)
+    Tp = readscan.bucket_length(T, 1024)
+    rows_tm = np.zeros((rows.shape[1], Tp), np.uint8)
+    rows_tm[:, :T] = rows.T
+    t0 = time.time()
+    got = np.asarray(kfn(jnp.asarray(rows_tm)))[:, :T]
+    print(f"tile kernel compile+run: {time.time() - t0:.1f}s")
+    ok = np.array_equal(ref, got)
+    if not ok:
+        bad = np.nonzero((ref != got).any(axis=0))[0]
+        print(f"MISMATCH tiles {bad[:10]}")
+        for t in bad[:5]:
+            print(f"  tile {t}: ref {ref[:, t]} got {got[:, t]}")
+    print("TILE PARITY OK" if ok else "TILE PARITY FAIL")
+    return 0 if ok else 1
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    rc = main()
+    rc |= main_tiles()
+    sys.exit(rc)
