@@ -731,7 +731,51 @@ PyObject *py_encode_composite_tm(PyObject *, PyObject *args) {
   return r;
 }
 
+// transpose_u8(src: bytes-like [T, R] row-major, T, R, Tp) -> bytes
+// [R, Tp] with columns T..Tp-1 zero — the text-major tile-row stack for
+// the Pallas tile-scan kernel (numpy's strided transpose of the same
+// costs ~10-20 ms per chunk).
+PyObject *py_transpose_u8(PyObject *, PyObject *args) {
+  Py_buffer src;
+  Py_ssize_t T, R, Tp;
+  if (!PyArg_ParseTuple(args, "y*nnn", &src, &T, &R, &Tp)) return nullptr;
+  if (src.len < T * R || Tp < T) {
+    PyBuffer_Release(&src);
+    PyErr_SetString(PyExc_ValueError, "bad transpose dims");
+    return nullptr;
+  }
+  PyObject *out_o = PyByteArray_FromStringAndSize(nullptr, R * Tp);
+  if (!out_o) { PyBuffer_Release(&src); return nullptr; }
+  uint8_t *out = (uint8_t *)PyByteArray_AS_STRING(out_o);
+  const uint8_t *in = (const uint8_t *)src.buf;
+  Py_BEGIN_ALLOW_THREADS
+  memset(out, 0, (size_t)R * Tp);
+  const Py_ssize_t BT = 64;  // cache-blocked
+  int nt = nthreads_for(T);
+  std::atomic<Py_ssize_t> next(0);
+  auto work = [&]() {
+    Py_ssize_t t0;
+    while ((t0 = next.fetch_add(BT)) < T) {
+      Py_ssize_t t1 = t0 + BT < T ? t0 + BT : T;
+      for (Py_ssize_t r0 = 0; r0 < R; r0 += BT) {
+        Py_ssize_t r1 = r0 + BT < R ? r0 + BT : R;
+        for (Py_ssize_t t = t0; t < t1; t++)
+          for (Py_ssize_t r = r0; r < r1; r++)
+            out[r * Tp + t] = in[t * R + r];
+      }
+    }
+  };
+  std::vector<std::thread> th;
+  for (int t = 0; t < nt; t++) th.emplace_back(work);
+  for (auto &t : th) t.join();
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&src);
+  return out_o;
+}
+
 PyMethodDef methods[] = {
+    {"transpose_u8", py_transpose_u8, METH_VARARGS,
+     "[T, R] u8 row-major -> [R, Tp] text-major (zero-padded columns)"},
     {"encode_composite_tm", py_encode_composite_tm, METH_VARARGS,
      "fastq chunk -> round-4 two-half text-major packed composite"},
     {"encode_composite_2bit", py_encode_composite_2bit, METH_VARARGS,

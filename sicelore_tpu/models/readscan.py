@@ -1331,11 +1331,9 @@ class ReadScanModel:
             c0 += take
         return arr3, spans
 
-    def scan_pass1(self, seqs: list[bytes], quals: list[bytes]):
-        """v2 pass-1: text-major packed composite -> edge meta + exact-BC
-        kmer (true stranded coords). On TPU the edge scan is the Pallas
-        kernel; reads with N bases re-run through the exact int8
-        fallback."""
+    def scan_pass1_async(self, seqs: list[bytes], quals: list[bytes]):
+        """Dispatch v2 pass-1 without blocking; force with finish_pass1
+        (double-buffered in the pipeline like pass 2)."""
         if not hasattr(self, "_pass1_mega2"):
             inner = make_pass1_body2(self.cfg)
             if self.mesh is not None:
@@ -1353,6 +1351,17 @@ class ReadScanModel:
                                    self.peq_ad, self.peq_adc, self.peq_tso)
                  for c0, take in spans]
         _prefetch(parts)
+        return parts, qv2, true_lens, dirty, seqs, quals, B, qsum
+
+    def scan_pass1(self, seqs: list[bytes], quals: list[bytes]):
+        """v2 pass-1: text-major packed composite -> edge meta + exact-BC
+        kmer (true stranded coords). On TPU the edge scan is the Pallas
+        kernel; reads with N bases re-run through the exact int8
+        fallback."""
+        return self.finish_pass1(self.scan_pass1_async(seqs, quals))
+
+    def finish_pass1(self, handles):
+        parts, qv2, true_lens, dirty, seqs, quals, B, qsum = handles
         arr = np.concatenate([np.asarray(h) for h in parts],
                              axis=1)[:, :B]
         out = finalize_rows_np(arr, P1_ROW_NAMES, true_lens, self.cfg)
@@ -1461,8 +1470,15 @@ class ReadScanModel:
                 self._tile_kfn = tilescan_tpu.make_tile_scan_kernel(self.cfg)
             T = len(rows)
             Tp = bucket_length(T, 1024)
-            rows_tm = np.zeros((rows.shape[1], Tp), np.uint8)
-            rows_tm[:, :T] = rows.T
+            ext = _hostenc()
+            if ext is not None and hasattr(ext, "transpose_u8"):
+                buf = ext.transpose_u8(np.ascontiguousarray(rows), T,
+                                       rows.shape[1], Tp)
+                rows_tm = np.frombuffer(buf, np.uint8).reshape(
+                    rows.shape[1], Tp)
+            else:
+                rows_tm = np.zeros((rows.shape[1], Tp), np.uint8)
+                rows_tm[:, :T] = rows.T
             parts = [self._tile_kfn(jnp.asarray(rows_tm))]
             _prefetch(parts)
             return parts, read_idx, g0s, T

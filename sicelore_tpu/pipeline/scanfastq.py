@@ -152,8 +152,10 @@ class ScanFastqPipeline:
     # ------------------------------------------------------------------
 
     def pass1_chunk(self, chunk: fastq.FastqChunk):
+        self._pass1_apply(self.model.scan_pass1(chunk.seqs, chunk.quals))
+
+    def _pass1_apply(self, out: dict):
         r = self.cfg.readscanner
-        out = self.model.scan_pass1(chunk.seqs, chunk.quals)
         ok = (out["stranded"]
               & (out["true_lens"] >= r.min_read_length)
               & (out["adapter_run"] >= r.min_adapter3p_matches)
@@ -319,8 +321,12 @@ class ScanFastqPipeline:
         skip = discard | set(splits)
         self.pass2_emit(chunk, out, bc, passed, failed, skip=skip)
         if splits:
+            # split parts re-scan through the same fused device path (their
+            # edge geometry changed); the jnp fallback only serves reads
+            # with N bases inside it
             sub = self._split_parts_chunk(chunk, splits)
-            s_out, s_bc = self.model._scan_search_sync(sub.seqs, sub.quals)
+            s_h = self.model.scan_search_async(sub.seqs, sub.quals)
+            s_out, s_bc = self.model.finish_search(s_h)
             self.pass2_emit(sub, s_out, s_bc, passed, failed)
 
     def pass2_chunk(self, chunk: fastq.FastqChunk,
@@ -515,9 +521,17 @@ class ScanFastqPipeline:
         if self.known_cells:
             self.use_fixed_list()
         else:
+            # double-buffered: the device scans chunk i+1 while the host
+            # counts chunk i's exact matches
+            p1_pending = None
             for f in files:
                 for chunk in fastq.read_fastq(f, self.chunk_size):
-                    self.pass1_chunk(chunk)
+                    h = self.model.scan_pass1_async(chunk.seqs, chunk.quals)
+                    if p1_pending is not None:
+                        self._pass1_apply(self.model.finish_pass1(p1_pending))
+                    p1_pending = h
+            if p1_pending is not None:
+                self._pass1_apply(self.model.finish_pass1(p1_pending))
             self.wl_counts = multihost.allreduce_counts(self.wl_counts)
             self.build_used_list()
             if jax.process_index() == 0:
