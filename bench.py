@@ -45,6 +45,26 @@ def _setup_cache():
         pass
 
 
+def tunnel_health():
+    """Median per-dispatch round-trip of a trivial device op, in ms.
+
+    The remote-TPU tunnel's per-dispatch latency varies from <1 ms to
+    tens of ms between windows (measured swings of 3-5x on identical
+    kernels minutes apart); the headline numbers below carry this probe
+    so a congested run is visible as such."""
+    import jax
+    import jax.numpy as jnp
+    x = jnp.zeros((8, 128), jnp.int32)
+    f = jax.jit(lambda a: a + 1)
+    f(x).block_until_ready()
+    ts = []
+    for _ in range(7):
+        t0 = time.time()
+        f(x).block_until_ready()
+        ts.append(time.time() - t0)
+    return sorted(ts)[len(ts) // 2] * 1e3
+
+
 def _make_reads(rng, wl, n, error_rate=0.05):
     from sicelore_tpu.utils import synth
     base = [synth.make_read(rng, wl[int(rng.integers(0, len(wl)))],
@@ -210,20 +230,58 @@ def bench_e2e(verbose=False, n_reads=102_400):
             times.append(time.time() - t0)
             if verbose:
                 import sys
-                print(f"e2e {'cold' if run == 0 else 'warm'}: "
+                print(f"e2e {'run0' if run == 0 else 'warm'}: "
                       f"{k / times[-1]:.0f} reads/s ({times[-1]:.1f}s)",
                       file=sys.stderr)
             assert stats.bc_assigned > 0.8 * k, stats.to_json()
-        return k / times[1], k / times[0]
+        # cold = FRESH SUBPROCESS against the now-populated persistent
+        # compile + AOT export caches: the honest deployment cold start
+        # (python+jax startup, artifact loads, executable loads) that
+        # in-process warm-up cannot flatter (VERDICT r3 item 2)
+        import subprocess
+        import sys as _sys
+        wl_file = tmp / "wl.txt"
+        wl_file.write_text("\n".join(wl))
+        script = (
+            "import time,sys,json\n"
+            "sys.path.insert(0, %r)\n"
+            "import bench; bench._setup_cache()\n"
+            "from sicelore_tpu.pipeline.scanfastq import ScanFastqPipeline\n"
+            "t0=time.time()\n"
+            "p=ScanFastqPipeline(whitelist=open(%r).read().split(),"
+            "chunk_size=32768)\n"
+            "s=p.run([%r], %r)\n"
+            "print(json.dumps({'dt': time.time()-t0,"
+            "'assigned': s.bc_assigned}))\n"
+            % (str(Path(__file__).resolve().parent), str(wl_file),
+               str(fq_dir), str(tmp / "out_cold")))
+        r = subprocess.run([_sys.executable, "-c", script],
+                           capture_output=True, text=True, timeout=1800)
+        cold_rps = 0.0
+        for line in reversed(r.stdout.splitlines()):
+            try:
+                d = json.loads(line)
+                cold_rps = k / d["dt"]
+                assert d["assigned"] > 0.8 * k
+                break
+            except (json.JSONDecodeError, KeyError):
+                continue
+        if verbose and cold_rps:
+            import sys
+            print(f"e2e cold (fresh subprocess): {cold_rps:.0f} reads/s",
+                  file=sys.stderr)
+        return k / times[1], cold_rps
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main(verbose: bool = False):
     _setup_cache()
+    health0 = tunnel_health()
     scan_rps, sweep_util = bench_scan(verbose)
     umis_ps, cons_util = bench_consensus(verbose)
     e2e_rps, e2e_cold = bench_e2e(verbose)
+    health1 = tunnel_health()
     print(json.dumps({
         "metric": "scanfastq_reads_per_s_per_chip",
         "value": round(scan_rps, 1),
@@ -239,6 +297,9 @@ def main(verbose: bool = False):
             # kernels are integer-bound; MXU FLOPs are the wrong axis)
             "bc_sweep_vpu_util": round(sweep_util, 4),
             "consensus_dp_vpu_util": round(cons_util, 4),
+            # remote-tunnel per-dispatch latency before/after (ms): runs
+            # with elevated values are congestion-bound, not kernel-bound
+            "tunnel_dispatch_ms": [round(health0, 2), round(health1, 2)],
         },
     }))
 

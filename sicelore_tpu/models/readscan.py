@@ -1237,9 +1237,16 @@ class ReadScanModel:
             if self.mesh is not None:
                 fn = make_sharded2(inner, self.mesh, 6, self.data_axis)
             else:
-                fn = make_mega2(inner, 6)
+                from sicelore_tpu.utils import aotcache
+                fn = aotcache.wrap(
+                    "scan_mega", f"{mode}|{radius}|{K}|{self._cfg_key()}",
+                    make_mega2(inner, 6))
             self._mega_cache[key] = fn
         self._mega_fn = fn
+
+    def _cfg_key(self) -> str:
+        import hashlib
+        return hashlib.sha256(repr(self.cfg).encode()).hexdigest()[:12]
 
     # -- v2 dispatch helpers (text-major slice stacks) -------------------
 
@@ -1340,7 +1347,9 @@ class ReadScanModel:
                 self._pass1_mega2 = make_sharded2(inner, self.mesh, 3,
                                                   self.data_axis)
             else:
-                self._pass1_mega2 = make_mega2(inner, 3)
+                from sicelore_tpu.utils import aotcache
+                self._pass1_mega2 = aotcache.wrap(
+                    "pass1_mega", self._cfg_key(), make_mega2(inner, 3))
         packed_tm, qv2, true_lens, dirty, qsum = eg2.encode_composite_tm(
             seqs, quals)
         B = len(seqs)
@@ -1467,7 +1476,10 @@ class ReadScanModel:
         if on_tpu:
             from sicelore_tpu.ops import tilescan_tpu
             if not hasattr(self, "_tile_kfn"):
-                self._tile_kfn = tilescan_tpu.make_tile_scan_kernel(self.cfg)
+                from sicelore_tpu.utils import aotcache
+                self._tile_kfn = aotcache.wrap(
+                    "tile_scan", self._cfg_key(),
+                    tilescan_tpu.make_tile_scan_kernel(self.cfg))
             T = len(rows)
             Tp = bucket_length(T, 1024)
             ext = _hostenc()

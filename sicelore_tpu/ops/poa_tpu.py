@@ -746,6 +746,30 @@ class BatchedConsensusEngine:
                 results[mi] = self._assemble(
                     cseq, cv[m_local], iv[m_local], int(pc[m_local]), maxps)
 
+    def _bucket_fn(self, Lc: int, Pp: int, maxps: int, out_cols: int):
+        """Fused align+assemble for one bucket shape, AOT-export-cached
+        (the per-process trace+lower of the band kernel is a cold-start
+        term; see utils.aotcache)."""
+        key = (Lc, Pp, maxps, out_cols)
+        fn = self._steps.get(key)
+        if fn is None:
+            interp = self._interp
+
+            def fused(cT, cl, rT, rl, mids, cmol, clm):
+                aligned, ins, feas = band_align_pallas(
+                    cT, cl, rT, rl, Lc, interpret=interp)
+                return votes_assemble(aligned, ins, feas, mids, cmol, clm,
+                                      Pp, maxps, out_cols)
+
+            if not interp:
+                from sicelore_tpu.utils import aotcache
+                fn = aotcache.wrap("consensus",
+                                   f"{Lc}|{Pp}|{maxps}|{out_cols}", fused)
+            else:
+                fn = fused
+            self._steps[key] = fn
+        return fn
+
     def _run_pallas(self, molecules, buckets, results, minps, maxps):
         """TPU path: Pallas band-align + on-device assembly; downloads only
         the compacted per-molecule consensus bytes."""
@@ -784,12 +808,11 @@ class BatchedConsensusEngine:
                 rT[PADL:PADL + rlens[p], p] = dna.encode(reads[p])
                 cl[p], rl[p], mids[p] = clens[p], rlens[p], mol_ids[p]
             out_cols = Lc + Lc // 8 + 16
-            aligned, ins, feas = band_align_pallas(
+            fused = self._bucket_fn(Lc, Pp, maxps, out_cols)
+            packed, out_len, pc, overflow = fused(
                 jnp.asarray(cT), jnp.asarray(cl), jnp.asarray(rT),
-                jnp.asarray(rl), Lc, interpret=self._interp)
-            packed, out_len, pc, overflow = votes_assemble(
-                aligned, ins, feas, jnp.asarray(mids), jnp.asarray(cmol),
-                jnp.asarray(clm), Pp, maxps, out_cols)
+                jnp.asarray(rl), jnp.asarray(mids), jnp.asarray(cmol),
+                jnp.asarray(clm))
             n = len(info)
             pending.append((info, packed[:n], out_len[:n], overflow[:n]))
         for info, packed, out_len, overflow in pending:

@@ -1,0 +1,121 @@
+"""Disk-backed AOT export cache — kills the per-process cold-start wall.
+
+The persistent XLA compile cache (jax_compilation_cache_dir) caches the
+DEVICE EXECUTABLE, but jax still re-TRACES and re-LOWERS every jitted
+function in every fresh process — measured 17-40 s per fully-unrolled
+Pallas kernel dispatcher here, i.e. the cold wall survives a warm compile
+cache (VERDICT r3 item 2). `jax.export` artifacts skip tracing entirely:
+deserialize is ~0 s and the first call only pays the (cache-hit) compile.
+
+Artifacts live under $SICELORE_AOT_CACHE (default ~/.cache/sicelore_tpu/
+aot), keyed by sha256 of (the source files of every kernel-bearing module,
+jax version, device kind, a caller key, and the concrete arg signature) —
+editing any kernel source automatically invalidates every artifact.
+
+Usage:
+    fn = aotcache.wrap("scan_mega", extra_key, jitted_fn)
+    fn(*arrays)   # per-shape: disk artifact or export+save, then jit-call
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+from pathlib import Path
+
+import jax
+import numpy as np
+
+_SRC_MODULES = (
+    "sicelore_tpu.ops.edgescan",
+    "sicelore_tpu.ops.edgescan_tpu",
+    "sicelore_tpu.ops.tilescan_tpu",
+    "sicelore_tpu.ops.bcsearch",
+    "sicelore_tpu.ops.editdist",
+    "sicelore_tpu.ops.scan",
+    "sicelore_tpu.ops.poa_tpu",
+    "sicelore_tpu.models.readscan",
+)
+_src_digest: str | None = None
+
+
+def _digest() -> str:
+    global _src_digest
+    if _src_digest is None:
+        h = hashlib.sha256()
+        h.update(jax.__version__.encode())
+        try:
+            h.update(jax.devices()[0].device_kind.encode())
+        except Exception:
+            pass
+        import importlib
+        for m in _SRC_MODULES:
+            try:
+                mod = importlib.import_module(m)
+                h.update(Path(mod.__file__).read_bytes())
+            except Exception:
+                h.update(m.encode())
+        _src_digest = h.hexdigest()[:16]
+    return _src_digest
+
+
+def cache_dir() -> Path:
+    d = os.environ.get("SICELORE_AOT_CACHE")
+    if d:
+        return Path(d)
+    return Path.home() / ".cache" / "sicelore_tpu" / "aot"
+
+
+def enabled() -> bool:
+    if os.environ.get("SICELORE_AOT_DISABLE"):
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _sig(args) -> str:
+    parts = []
+    for a in args:
+        parts.append(f"{np.dtype(a.dtype).name}{tuple(a.shape)}")
+    return ",".join(parts)
+
+
+def wrap(name: str, extra_key: str, fn):
+    """Wrap a jittable fn with the per-shape export cache. Off-TPU (or
+    with SICELORE_AOT_DISABLE set) returns fn unchanged."""
+    if not enabled():
+        return fn
+    from jax import export as jexport
+
+    compiled: dict = {}
+
+    def call(*args):
+        sig = _sig(args)
+        hit = compiled.get(sig)
+        if hit is None:
+            key = hashlib.sha256(
+                f"{_digest()}|{name}|{extra_key}|{sig}".encode()
+            ).hexdigest()[:24]
+            path = cache_dir() / f"{name}-{key}.jaxexp"
+            exp = None
+            if path.exists():
+                try:
+                    exp = jexport.deserialize(path.read_bytes())
+                except Exception:
+                    exp = None
+            if exp is None:
+                sds = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args]
+                exp = jexport.export(jax.jit(fn))(*sds)
+                try:
+                    path.parent.mkdir(parents=True, exist_ok=True)
+                    tmp = path.with_suffix(".tmp%d" % os.getpid())
+                    tmp.write_bytes(exp.serialize())
+                    tmp.replace(path)
+                except Exception:
+                    pass
+            hit = jax.jit(exp.call)
+            compiled[sig] = hit
+        return hit(*args)
+
+    return call

@@ -75,12 +75,34 @@ def warm(n_bc: int = 8192, full: bool = False, log=None) -> dict:
                      model.finish_search(model.scan_search_async(s, q))))
         jobs.append((f"pass1_C{C}", lambda s=seqs, q=quals:
                      model.scan_pass1(s, q)))
-    # 4-bit fallback path (N-containing reads): one tiny batch
+    # int8 fallback path (N-containing reads): one tiny batch
     dirty_seqs = [b"ACGTN" * 120 for _ in range(8)]
     dirty_quals = [b"I" * 600 for _ in range(8)]
-    jobs.append(("fallback_4bit", lambda:
+    jobs.append(("fallback_int8", lambda:
                  model.finish_search(
                      model.scan_search_async(dirty_seqs, dirty_quals))))
+
+    # tiled chimera scan: tile-count buckets (reads > 2*E+k produce tiles)
+    def warm_tiles(n_long):
+        long_seqs = [bytes(rng.choice(bases, 3000)) for _ in range(n_long)]
+        model.finish_internal_tiles(model.internal_tiles_async(long_seqs))
+    tile_counts = [64, 512] + ([1024, 2048] if full else [])
+    for n in tile_counts:
+        jobs.append((f"tiles_{n}", lambda n=n: warm_tiles(n)))
+
+    # consensus engine: Lc buckets + assemble shapes
+    def warm_consensus(lc, n_mol):
+        from sicelore_tpu.ops.poa_tpu import BatchedConsensusEngine
+        eng = BatchedConsensusEngine()
+        mols = []
+        for i in range(n_mol):
+            t = bytes(rng.choice(bases, lc - 8))
+            mols.append([t, t, t])
+        eng(mols)
+    for lc, nm in [(256, 8), (512, 8)] + ([(1024, 8), (2048, 8)]
+                                          if full else []):
+        jobs.append((f"consensus_L{lc}", lambda lc=lc, nm=nm:
+                     warm_consensus(lc, nm)))
     if full:
         # internal scan: length buckets (chimera path, long reads only)
         for L in (1024, 2048, 4096):
