@@ -188,7 +188,9 @@ def test_precompile_warm_smoke(monkeypatch):
     monkeypatch.setattr(readscan.ReadScanModel, "MAX_C", 2)
     times = precompile.warm(n_bc=64, full=False, log=lambda *a: None)
     assert set(times) == {"scan_search_C1", "scan_search_C2",
-                          "pass1_C1", "pass1_C2", "fallback_4bit"}
+                          "pass1_C1", "pass1_C2", "fallback_int8",
+                          "tiles_64", "tiles_512",
+                          "consensus_L256", "consensus_L512"}
 
 
 def test_native_encode_matches_numpy():
