@@ -249,7 +249,13 @@ def make_edge_scan_fn(cfg: PipelineConfig):
         w5_r = gather_window(seqs, lens, lens - twin - t0, twin, rc=True)
         w5 = jnp.where(is_fwd[:, None], w5_f, w5_r)
         tso_ed, tso_pos = scan.adapter_search(w5, peq_tso, m_tso)
-        tso_found = tso_ed <= t.max_needleman_mismatches
+        # consecutive-match bailouts (config.xml:160-166; see
+        # ops.scan.run_bailout)
+        bail = scan.run_bailout(
+            w5, jnp.asarray(dna.encode(t.sequence)), m_tso,
+            t.min_tso_consecutive_matches,
+            t.min_tso_two_best_consecutive_matches)
+        tso_found = (tso_ed <= t.max_needleman_mismatches) | bail
         tso_end = jnp.where(tso_found,
                             t0 + tso_pos + (t.offset_tso_end - 1), -1)
 

@@ -186,6 +186,7 @@ def make_edge_scan2_jnp(cfg: PipelineConfig):
     nbases = cfg.readscanner.nbases_of_adapter_seq_in_readname
     x_len = 40 + nbases
     adc_codes = jnp.asarray(dna.encode(a.sequence_complete))
+    tso_codes = jnp.asarray(dna.encode(t.sequence))
 
     @jax.jit
     def body(head, tail, lens, peq_ad, peq_adc, peq_tso):
@@ -255,7 +256,14 @@ def make_edge_scan2_jnp(cfg: PipelineConfig):
         w5_r = gather_window(tail, elen, elen - twin - t0, twin, rc=True)
         w5 = jnp.where(is_fwd[:, None], w5_f, w5_r)
         tso_ed, tso_pos = scan.adapter_search(w5, peq_tso, m_tso)
-        tso_found = tso_ed <= t.max_needleman_mismatches
+        # TSO consecutive-match bailouts (config.xml:160-166): the match
+        # passes even above maxNeedlemanMismatches when a consecutive
+        # match run >= minTSO_NeedlemanConsecutiveMatches exists, or two
+        # disjoint runs sum to >= minTSO_TwoBestConsecutiveMatches
+        bail = scan.run_bailout(w5, tso_codes, m_tso,
+                                t.min_tso_consecutive_matches,
+                                t.min_tso_two_best_consecutive_matches)
+        tso_found = (tso_ed <= t.max_needleman_mismatches) | bail
         tso_end = jnp.where(tso_found,
                             t0 + tso_pos + (t.offset_tso_end - 1), -1)
 

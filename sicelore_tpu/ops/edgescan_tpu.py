@@ -61,11 +61,27 @@ def _supported(cfg: PipelineConfig) -> bool:
             and t.window_for_tso_search <= 160
             and 2 <= cfg.readscanner.min_adapter3p_matches
             <= min(16, len(a.sequence_complete))
+            and 2 <= t.min_tso_consecutive_matches <= 16
+            and t.min_tso_two_best_consecutive_matches
+            >= t.min_tso_consecutive_matches
             and eg.bc_window_width(cfg) <= 32)
 
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
+
+
+def _bail_pairs(c1: int, c2: int):
+    """Ordered (now, before) threshold pairs of the two-best bailout
+    decomposition (see ops.scan.run_bailout)."""
+    pairs = []
+    for a in range((c2 + 1) // 2, min(c1, c2)):
+        b = c2 - a
+        if b < 1:
+            continue
+        for xy in {(a, b), (b, a)}:
+            pairs.append(xy)
+    return tuple(sorted(pairs))
 
 
 def _edge_kernel(peq_ref, packed_ref, out_ref, T, *, cfg_c: dict):
@@ -74,6 +90,9 @@ def _edge_kernel(peq_ref, packed_ref, out_ref, T, *, cfg_c: dict):
     m_ad = cfg_c["m_ad"]; m_adc = cfg_c["m_adc"]; m_tso = cfg_c["m_tso"]
     mm_ad = cfg_c["mm_ad"]; mm_tso = cfg_c["mm_tso"]
     off_tso = cfg_c["off_tso"]; r_run = cfg_c["r_run"]
+    tso_c1 = cfg_c["tso_c1"]; tso_pairs = cfg_c["tso_pairs"]
+    tso_ys = sorted({y for _, y in tso_pairs})
+    tso_maxx = max([x for x, _ in tso_pairs], default=1)
     pad = cfg_c["pad"]; bc_len = cfg_c["bc_len"]; bw = cfg_c["bw"]
     x_len = cfg_c["x_len"]; nb = cfg_c["nb"]
     CS = cfg_c["CS"]          # sense/rc sweep columns (multiple of U)
@@ -242,12 +261,36 @@ def _edge_kernel(peq_ref, packed_ref, out_ref, T, *, cfg_c: dict):
                  | m(ch == 2).astype(jnp.uint32) * pq[2]
                  | m(ch == 3).astype(jnp.uint32) * pq[3]) * w32)
 
+    # TSO consecutive-match bailout tracker (ops.scan.run_bailout online
+    # formulation): a V-chain of depth tso_c1 plus delayed end-history
+    # registers per pair threshold
+    def bail_init():
+        return ([zero.astype(jnp.uint32)] * tso_c1,
+                {y: zero for y in tso_ys},
+                {y: [zero] * tso_maxx for y in tso_ys}, zero)
+
+    def bail_step(st, eq_t):
+        Vt, Ey, hist, bail = st
+        Vn = [eq_t]
+        for l in range(1, tso_c1):
+            Vn.append(eq_t & (Vt[l - 1] << jnp.uint32(1)))
+        for x, y in tso_pairs:
+            bail = jnp.maximum(bail, m(Vn[x - 1] != 0) * hist[y][-x])
+        bail = jnp.maximum(bail, m(Vn[tso_c1 - 1] != 0))
+        Ey2, hist2 = {}, {}
+        for y in tso_ys:
+            e = jnp.maximum(Ey[y], m(Vn[y - 1] != 0))
+            Ey2[y] = e
+            hist2[y] = (hist[y] + [e])[-tso_maxx:]
+        return (Vn, Ey2, hist2, bail)
+
     # ---- phase C: sense sweep over the head band (static columns) ----
     adR_lo = rev_ts - awin
     adR = mstate(m_ad)
     adcR = mstate(m_adc)
     tsoF = mstate(m_tso)
     runR = zero
+    bstF = bail_init()
     V = [zero.astype(jnp.uint32)] * r_run
     for blk in range(CS // U):
         j0 = blk * U
@@ -263,12 +306,15 @@ def _edge_kernel(peq_ref, packed_ref, out_ref, T, *, cfg_c: dict):
             adcR = mstep(adcR, eqc, jv, m_adc, track=False)
             if j < twin:
                 w_t = m(jv < twin) * inread
-                tsoF = mstep(tsoF, eq_sel(ch, pq_tso, w_t), jv, m_tso)
+                eq_t = eq_sel(ch, pq_tso, w_t)
+                tsoF = mstep(tsoF, eq_t, jv, m_tso)
+                bstF = bail_step(bstF, eq_t)
             Vn = [eqc]
             for l in range(1, r_run):
                 Vn.append(eqc & (V[l - 1] << jnp.uint32(1)))
             V = Vn
             runR = jnp.maximum(runR, m(V[r_run - 1] != 0))
+    bailF = bstF[3]
     if PH < 4:
         for i in range(out_ref.shape[0]):
             out_ref[i] = adR[3] + adcR[3] + tsoF[3] + runR
@@ -281,6 +327,7 @@ def _edge_kernel(peq_ref, packed_ref, out_ref, T, *, cfg_c: dict):
     adcF = mstate(m_adc)
     tsoR = mstate(m_tso)
     runF = zero
+    bstR = bail_init()
     V = [zero.astype(jnp.uint32)] * r_run
     for blk in range(CS // U):
         r0 = blk * U
@@ -305,12 +352,15 @@ def _edge_kernel(peq_ref, packed_ref, out_ref, T, *, cfg_c: dict):
             adcF = mstep(adcF, eqc, rv, m_adc, track=False)
             if r < twin:
                 w_t = m(rv < twin) * valid
-                tsoR = mstep(tsoR, ceq(pq_tso, w_t), rv, m_tso)
+                eq_t = ceq(pq_tso, w_t)
+                tsoR = mstep(tsoR, eq_t, rv, m_tso)
+                bstR = bail_step(bstR, eq_t)
             Vn = [eqc]
             for l in range(1, r_run):
                 Vn.append(eqc & (V[l - 1] << jnp.uint32(1)))
             V = Vn
             runF = jnp.maximum(runF, m(V[r_run - 1] != 0))
+    bailR = bstR[3]
     if PH < 5:
         for i in range(out_ref.shape[0]):
             out_ref[i] = adF[3] + adcF[3] + tsoR[3] + runF
@@ -340,7 +390,8 @@ def _edge_kernel(peq_ref, packed_ref, out_ref, T, *, cfg_c: dict):
     run_ok = is_fwd * runF + (1 - is_fwd) * runR
     tso_ed = is_fwd * tsoF[3] + (1 - is_fwd) * tsoR[3]
     tso_pos = is_fwd * tsoF[4] + (1 - is_fwd) * tsoR[4]
-    tso_fnd = m(tso_ed <= mm_tso)
+    tso_bail = is_fwd * bailF + (1 - is_fwd) * bailR
+    tso_fnd = jnp.maximum(m(tso_ed <= mm_tso), tso_bail)
     tso_end = tso_fnd * (tso_pos + (off_tso - 1)) - (1 - tso_fnd)
 
     if PH < 6:
@@ -430,6 +481,9 @@ def make_edge_scan2_kernel(cfg: PipelineConfig, interpret: bool = False):
         mm_ad=a.max_needleman_mismatches,
         mm_tso=t.max_needleman_mismatches,
         off_tso=t.offset_tso_end,
+        tso_c1=t.min_tso_consecutive_matches,
+        tso_pairs=_bail_pairs(t.min_tso_consecutive_matches,
+                              t.min_tso_two_best_consecutive_matches),
         r_run=cfg.readscanner.min_adapter3p_matches,
         pad=cfg.readscanner.test_plus_minus_pos,
         bc_len=cfg.barcodes.cell_bc_length,

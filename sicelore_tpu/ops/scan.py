@@ -208,6 +208,47 @@ def match_run_stats(windows: jax.Array, pattern: jax.Array, m: int):
     return best, second
 
 
+@functools.partial(jax.jit, static_argnames=("m", "c1", "c2"))
+def run_bailout(windows: jax.Array, pattern: jax.Array, m: int,
+                c1: int, c2: int):
+    """TSO consecutive-match bailout (config.xml:160-166): True when the
+    window holds a diagonal exact-match run >= c1, or two COLUMN-DISJOINT
+    runs summing >= c2 (policy: the jar's "two best consecutive matches in
+    one NW alignment" is unobservable; column-disjointness is the
+    deterministic analog, and it decomposes into threshold pairs
+    (a, c2-a) for a in [ceil(c2/2), c1) — any pair with a side >= c1 is
+    already covered by the first test, and a single run long enough to
+    fake a pair has length >= c2 >= c1, also covered). The Pallas edge
+    kernel implements the identical online formulation.
+
+    windows [B, W] int8; pattern [m] int8. Returns [B] bool.
+    """
+    assert c2 >= c1, "two-best threshold below single-run threshold"
+    B, W = windows.shape
+
+    def row(prev, pc):
+        eq = (windows == pc) & (pc < 4)
+        shifted = jnp.pad(prev[:, :-1], ((0, 0), (1, 0)))
+        cur = jnp.where(eq, shifted + 1, 0)
+        return cur, cur
+
+    init = jnp.zeros((B, W), jnp.int32)
+    _, allruns = jax.lax.scan(row, init, pattern.astype(jnp.int8))
+    best_end = jnp.max(allruns, axis=0)          # [B, W]: longest run @ j
+    ok = jnp.any(best_end >= c1, axis=1)
+    for a in range((c2 + 1) // 2, min(c1, c2)):
+        b = c2 - a
+        if b < 1:
+            continue
+        for x, y in {(a, b), (b, a)}:
+            ey = jax.lax.associative_scan(jnp.maximum,
+                                          (best_end >= y).astype(jnp.int32),
+                                          axis=1)
+            eyd = jnp.pad(ey[:, :-x], ((0, 0), (x, 0)))  # E_y at col j-x
+            ok = ok | jnp.any((best_end >= x) & (eyd > 0), axis=1)
+    return ok
+
+
 def peq_single(pattern: str | bytes | np.ndarray) -> tuple[np.ndarray, int]:
     """Build a [4, 1] Peq for a single ASCII pattern; returns (peq, m)."""
     codes = dna.encode(pattern) if isinstance(pattern, (str, bytes)) else pattern

@@ -89,3 +89,30 @@ def test_kmer_rows_match_windows():
         kmer = (kmer << 2) | np.minimum(wins[:, i], 3)
     assert np.array_equal(kmer[valid],
                           new["bc_kmer"][valid].astype(np.int64))
+
+
+def test_tso_bailout_accepts_partial_tso():
+    """A TSO with >maxNeedlemanMismatches errors but an exact >=8-base
+    consecutive run must still report T= (config.xml:160-166 bailout)."""
+    import jax.numpy as jnp
+    cfg = PipelineConfig()
+    rng = np.random.default_rng(5)
+    wl = synth.make_whitelist(rng, 4)
+    r = synth.make_read(rng, wl[0], cdna_len=400, error_rate=0.0)
+    seq = bytearray(r["seq"])  # FWD read, TSO at the 5' start
+    # the read begins with the TSO (sense); scramble its tail so ed > 5
+    # while the first 9 bases stay an exact run
+    tso = cfg.tso3p.sequence.encode()
+    assert bytes(seq[:len(tso)]) == tso
+    # keep the first 9 TSO bases (an exact run >= c1=8), then flood the
+    # rest of the 90-base TSO window with C so no cheap chance alignment
+    # exists (over a random 90-mer the min semi-global ED of a 16-mer is
+    # ~5 by chance alone, which is why the bailout is a rare-fire path)
+    seq[9:cfg.tso3p.window_for_tso_search] = (
+        b"C" * (cfg.tso3p.window_for_tso_search - 9))
+    seqs = [bytes(seq)]
+    quals = [r["qual"]]
+    out = _new_scan(cfg, seqs, quals)
+    assert out["stranded"][0] and out["is_fwd"][0]
+    assert out["tso_ed"][0] > cfg.tso3p.max_needleman_mismatches
+    assert out["tso_end"][0] >= 0  # bailout accepted it

@@ -102,3 +102,54 @@ def test_min_count_for():
     assert scan.min_count_for(15, 0.75) == 12
     assert scan.min_count_for(15, 0.70) == 11
     assert scan.min_count_for(20, 0.75) == 15
+
+
+def test_run_bailout_vs_oracle():
+    """run_bailout == brute-force 'single run >= c1 OR column-disjoint
+    pair summing >= c2' over maximal diagonal match runs."""
+    import jax.numpy as jnp
+
+    from sicelore_tpu.ops import scan as scanops
+
+    rng = np.random.default_rng(17)
+    m, W, B = 16, 90, 256
+    pattern = rng.integers(0, 4, m).astype(np.int8)
+    # biased windows: embed noisy pattern copies to create runs
+    wins = rng.integers(0, 4, (B, W)).astype(np.int8)
+    for b in range(B):
+        for _ in range(rng.integers(0, 3)):
+            p0 = int(rng.integers(0, W - m))
+            frag = pattern.copy()
+            nmut = int(rng.integers(0, 6))
+            for _ in range(nmut):
+                frag[rng.integers(0, m)] = rng.integers(0, 4)
+            wins[b, p0:p0 + m] = frag
+
+    def oracle(win, c1, c2):
+        runs = []  # (start_col, end_col, len) of maximal diagonal runs
+        for d in range(-m + 1, W):  # diagonal: col - row
+            ln = 0
+            for i in range(m):
+                j = i + d
+                if 0 <= j < W and win[j] == pattern[i]:
+                    ln += 1
+                else:
+                    if ln:
+                        runs.append((j - ln, j - 1, ln))
+                    ln = 0
+            if ln:
+                j = m + d
+                runs.append((j - ln, j - 1, ln))
+        if any(r[2] >= c1 for r in runs):
+            return True
+        for a in runs:
+            for b2 in runs:
+                if (a[1] < b2[0] or b2[1] < a[0]) and a[2] + b2[2] >= c2:
+                    return True
+        return False
+
+    for c1, c2 in ((8, 12), (6, 10), (10, 14)):
+        got = np.asarray(scanops.run_bailout(
+            jnp.asarray(wins), jnp.asarray(pattern), m, c1, c2))
+        want = np.array([oracle(wins[b], c1, c2) for b in range(B)])
+        assert np.array_equal(got, want), (c1, c2, np.nonzero(got != want))
