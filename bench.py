@@ -62,7 +62,13 @@ def tunnel_health():
         t0 = time.time()
         f(x).block_until_ready()
         ts.append(time.time() - t0)
-    return sorted(ts)[len(ts) // 2] * 1e3
+    lat = sorted(ts)[len(ts) // 2] * 1e3
+    big = jax.jit(lambda a: a + 1)(jnp.zeros(2 * 1024 * 1024, jnp.uint8))
+    big.block_until_ready()
+    t0 = time.time()
+    np.asarray(big)
+    bw = 2.0 / max(time.time() - t0, 1e-6)
+    return lat, bw
 
 
 def _make_reads(rng, wl, n, error_rate=0.05):
@@ -297,9 +303,13 @@ def main(verbose: bool = False):
             # kernels are integer-bound; MXU FLOPs are the wrong axis)
             "bc_sweep_vpu_util": round(sweep_util, 4),
             "consensus_dp_vpu_util": round(cons_util, 4),
-            # remote-tunnel per-dispatch latency before/after (ms): runs
-            # with elevated values are congestion-bound, not kernel-bound
-            "tunnel_dispatch_ms": [round(health0, 2), round(health1, 2)],
+            # remote-tunnel health before/after: per-dispatch latency (ms)
+            # and d2h bandwidth (MB/s) — runs with elevated latency or
+            # depressed bandwidth are congestion-bound, not kernel-bound
+            # (measured swings: 0.3-30 ms dispatch, 0.4-20 MB/s d2h)
+            "tunnel_dispatch_ms": [round(health0[0], 2),
+                                   round(health1[0], 2)],
+            "tunnel_d2h_mbps": [round(health0[1], 1), round(health1[1], 1)],
         },
     }))
 

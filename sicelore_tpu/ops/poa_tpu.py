@@ -746,11 +746,16 @@ class BatchedConsensusEngine:
                 results[mi] = self._assemble(
                     cseq, cv[m_local], iv[m_local], int(pc[m_local]), maxps)
 
-    def _bucket_fn(self, Lc: int, Pp: int, maxps: int, out_cols: int):
-        """Fused align+assemble for one bucket shape, AOT-export-cached
-        (the per-process trace+lower of the band kernel is a cold-start
-        term; see utils.aotcache)."""
-        key = (Lc, Pp, maxps, out_cols)
+    def _bucket_fn(self, Lc: int, Pp: int, n2: int, maxps: int,
+                   out_cols: int):
+        """Fused align+assemble for one bucket shape, AOT-export-cached.
+
+        Returns ONE merged [n2, out_cols + 5] u8 array (consensus bytes |
+        out_len LE32 | overflow), sliced to the real molecule rows INSIDE
+        the jit: the previous three eagerly-sliced downloads cost ~74 ms
+        of RPC per slice op plus a synchronous d2h round trip each — the
+        whole engine was download-bound (measured 2.3s of 2.7s)."""
+        key = (Lc, Pp, n2, maxps, out_cols)
         fn = self._steps.get(key)
         if fn is None:
             interp = self._interp
@@ -758,13 +763,21 @@ class BatchedConsensusEngine:
             def fused(cT, cl, rT, rl, mids, cmol, clm):
                 aligned, ins, feas = band_align_pallas(
                     cT, cl, rT, rl, Lc, interpret=interp)
-                return votes_assemble(aligned, ins, feas, mids, cmol, clm,
-                                      Pp, maxps, out_cols)
+                packed, out_len, pc, overflow = votes_assemble(
+                    aligned, ins, feas, mids, cmol, clm, Pp, maxps,
+                    out_cols)
+                ol = out_len[:n2, None].astype(jnp.uint32)
+                lb = jnp.concatenate(
+                    [((ol >> s) & 0xFF).astype(jnp.uint8)
+                     for s in (0, 8, 16, 24)], axis=1)
+                ov = overflow[:n2, None].astype(jnp.uint8)
+                return jnp.concatenate([packed[:n2], lb, ov], axis=1)
 
             if not interp:
                 from sicelore_tpu.utils import aotcache
-                fn = aotcache.wrap("consensus",
-                                   f"{Lc}|{Pp}|{maxps}|{out_cols}", fused)
+                fn = aotcache.wrap(
+                    "consensus", f"{Lc}|{Pp}|{n2}|{maxps}|{out_cols}",
+                    fused)
             else:
                 fn = fused
             self._steps[key] = fn
@@ -808,17 +821,25 @@ class BatchedConsensusEngine:
                 rT[PADL:PADL + rlens[p], p] = dna.encode(reads[p])
                 cl[p], rl[p], mids[p] = clens[p], rlens[p], mol_ids[p]
             out_cols = Lc + Lc // 8 + 16
-            fused = self._bucket_fn(Lc, Pp, maxps, out_cols)
-            packed, out_len, pc, overflow = fused(
+            n = len(info)
+            n2 = max(8, 1 << (n - 1).bit_length())
+            fused = self._bucket_fn(Lc, Pp, n2, maxps, out_cols)
+            merged = fused(
                 jnp.asarray(cT), jnp.asarray(cl), jnp.asarray(rT),
                 jnp.asarray(rl), jnp.asarray(mids), jnp.asarray(cmol),
                 jnp.asarray(clm))
-            n = len(info)
-            pending.append((info, packed[:n], out_len[:n], overflow[:n]))
-        for info, packed, out_len, overflow in pending:
-            packed = np.asarray(packed)
-            out_len = np.asarray(out_len)
-            overflow = np.asarray(overflow)
+            try:  # overlap the d2h transfers across buckets
+                merged.copy_to_host_async()
+            except Exception:
+                pass
+            pending.append((info, merged, out_cols))
+        for info, merged, out_cols in pending:
+            merged = np.asarray(merged)
+            packed = merged[:, :out_cols]
+            out_len = (merged[:, out_cols:out_cols + 4]
+                       .astype(np.uint32) << np.uint32([0, 8, 16, 24])
+                       ).sum(axis=1).astype(np.int64)
+            overflow = merged[:, out_cols + 4]
             codes_all = packed & 3
             qs_all = (packed >> 2) + 33
             acgt = np.frombuffer(b"ACGT", np.uint8)
