@@ -111,6 +111,10 @@ def _add_computeconsensus(sub):
     p.add_argument("--MAXPS", type=int, default=20)
     p.add_argument("--host-engine", action="store_true",
                    help="force the host consensus engine (no TPU)")
+    p.add_argument("--refine", action="store_true",
+                   help="second alignment pass re-centered on the pass-1 "
+                        "consensus (~2x device time; accuracy deltas in "
+                        "docs/CONSENSUS_ACCURACY.md)")
     return p
 
 
@@ -121,7 +125,12 @@ def cmd_computeconsensus(args) -> int:
     if not args.host_engine:
         try:
             from sicelore_tpu.ops.poa_tpu import BatchedConsensusEngine
-            engine = BatchedConsensusEngine(maxreads=args.MAXREADS)
+            eng = BatchedConsensusEngine(maxreads=args.MAXREADS)
+            if args.refine:
+                import functools
+                engine = functools.partial(eng, refine=True)
+            else:
+                engine = eng
         except Exception:
             engine = None  # fall back to host engine
     stats = compute_consensus(args.INPUT, args.OUTPUT,

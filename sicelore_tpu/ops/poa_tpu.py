@@ -666,15 +666,39 @@ class BatchedConsensusEngine:
                     jnp.asarray(rl), jnp.asarray(mids))
 
     def __call__(self, molecules: list[list[bytes]], minps: int = 3,
-                 maxps: int = 20):
+                 maxps: int = 20, refine: bool = False):
+        """refine=True runs a SECOND alignment pass with the first-pass
+        consensus as the center (every read realigns to it and re-votes) —
+        the cheap approximation of spoa's graph refinement. Costs ~2x
+        device time; accuracy deltas are tabulated in
+        docs/CONSENSUS_ACCURACY.md."""
+        results = self._one_pass(molecules, minps, maxps, None)
+        if not refine:
+            return results
+        centers_map = {}
+        for mi, seqs in enumerate(molecules):
+            if len(seqs) > 2 and results[mi] is not None:
+                c = results[mi][0]
+                if len(c) and len(c) <= self.max_center_len:
+                    centers_map[mi] = c
+        if centers_map:
+            refined = self._one_pass(molecules, minps, maxps, centers_map)
+            for mi in centers_map:
+                results[mi] = refined[mi]
+        return results
+
+    def _one_pass(self, molecules, minps, maxps, centers_map):
         results: list = [None] * len(molecules)
         # bucket multi-read molecules by center length
         buckets: dict[int, list[int]] = defaultdict(list)
         for mi, seqs in enumerate(molecules):
+            if centers_map is not None and mi not in centers_map:
+                continue
             if len(seqs) <= 2:
                 results[mi] = poa.consensus_reads(seqs, minps, maxps)
             else:
-                c = max(len(s) for s in seqs)
+                c = (len(centers_map[mi]) if centers_map is not None
+                     else max(len(s) for s in seqs))
                 if c > self.max_center_len:
                     results[mi] = poa.consensus_reads(seqs, minps, maxps)
                 else:
@@ -682,19 +706,29 @@ class BatchedConsensusEngine:
         # maxps > 63 cannot pack into the 6 qv bits of the compacted
         # consensus byte (ADVICE r3) — serve those from the jnp engine
         if self._on_tpu and self.mesh is None and maxps <= 63:
-            self._run_pallas(molecules, buckets, results, minps, maxps)
+            self._run_pallas(molecules, buckets, results, minps, maxps,
+                             centers_map)
         else:
-            self._run_jnp(molecules, buckets, results, minps, maxps)
+            self._run_jnp(molecules, buckets, results, minps, maxps,
+                          centers_map)
         return results
 
-    def _build_bucket(self, molecules, idxs, Lc, W, left_pad=0):
-        """Pack one bucket's pair batch; returns None when no pairs."""
+    def _build_bucket(self, molecules, idxs, Lc, W, centers_map=None):
+        """Pack one bucket's pair batch; returns None when no pairs.
+
+        With centers_map the given consensus is the center and EVERY read
+        forms a pair (refine pass); otherwise the longest read is the
+        center and the others pair against it."""
         centers, clens, reads, rlens, mol_ids = [], [], [], [], []
         info = []  # per molecule in bucket: (mi, center_seq, R)
         for m_local, mi in enumerate(idxs):
             seqs = molecules[mi]
-            ci = max(range(len(seqs)), key=lambda i: len(seqs[i]))
-            cseq = seqs[ci]
+            if centers_map is not None:
+                cseq = centers_map[mi]
+                ci = -1
+            else:
+                ci = max(range(len(seqs)), key=lambda i: len(seqs[i]))
+                cseq = seqs[ci]
             info.append((mi, cseq, len(seqs)))
             for r, s in enumerate(seqs):
                 if r == ci:
@@ -709,12 +743,14 @@ class BatchedConsensusEngine:
                 mol_ids.append(m_local)
         return info, centers, clens, reads, rlens, mol_ids
 
-    def _run_jnp(self, molecules, buckets, results, minps, maxps):
+    def _run_jnp(self, molecules, buckets, results, minps, maxps,
+                 centers_map=None):
         W = self.band
         pending = []  # (info, device handles) — all buckets dispatch before
         # any host assembly runs, so vote computation overlaps assembly
         for Lc, idxs in buckets.items():
-            built = self._build_bucket(molecules, idxs, Lc, W)
+            built = self._build_bucket(molecules, idxs, Lc, W,
+                                       centers_map)
             info, centers, clens, reads, rlens, mol_ids = built
             if not centers:
                 for mi, cseq, R in info:
@@ -783,14 +819,16 @@ class BatchedConsensusEngine:
             self._steps[key] = fn
         return fn
 
-    def _run_pallas(self, molecules, buckets, results, minps, maxps):
+    def _run_pallas(self, molecules, buckets, results, minps, maxps,
+                    centers_map=None):
         """TPU path: Pallas band-align + on-device assembly; downloads only
         the compacted per-molecule consensus bytes."""
         pending = []
         for Lc, idxs in buckets.items():
             W = w_for(Lc)
             PADL = padl_for(W)
-            built = self._build_bucket(molecules, idxs, Lc, W)
+            built = self._build_bucket(molecules, idxs, Lc, W,
+                                       centers_map)
             info, centers, clens, reads, rlens, mol_ids = built
             if not centers:
                 for mi, cseq, R in info:

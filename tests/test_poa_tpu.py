@@ -121,3 +121,19 @@ def test_mixed_length_buckets(engine):
     res = engine(mols1 + mols2)
     for (cons, _), truth in zip(res, t1 + t2):
         assert levenshtein_np(cons.decode(), truth) < 0.05 * len(truth)
+
+
+def test_refine_pass():
+    """refine=True re-centers on the pass-1 consensus and must not hurt
+    identity; 1/2-read molecules keep short-circuiting."""
+    rng = np.random.default_rng(9)
+    eng = BatchedConsensusEngine()
+    mols, truths = _mols(rng, 4, 8, 0.09, 300)
+    mols.append([b"ACGTACGTAA"])
+    r1 = eng(mols)
+    r2 = eng(mols, refine=True)
+    assert r2[-1][0] == b"ACGTACGTAA"
+    for (c1, _), (c2, _), t in zip(r1, r2, truths):
+        d1 = levenshtein_np(c1.decode(), t)
+        d2 = levenshtein_np(c2.decode(), t)
+        assert d2 <= d1 + 2, (d1, d2)
