@@ -268,3 +268,80 @@ def test_native_encode_tm_matches_numpy():
     assert np.array_equal(np.frombuffer(tl, np.int32), l0)
     assert np.array_equal(np.frombuffer(dr, np.uint8).astype(bool), d0)
     assert np.array_equal(np.frombuffer(qs, np.int32), s0)
+
+
+def test_encode_tiles_native_matches_numpy():
+    """native encode_tiles must be byte-identical to the numpy build_tiles
+    fallback (ADVICE r3)."""
+    import sicelore_tpu.io.native as nat
+    from sicelore_tpu.models.readscan import build_tiles
+    from sicelore_tpu.utils.config import PipelineConfig
+    ext = nat.get_hostenc()
+    if ext is None or not hasattr(ext, "encode_tiles"):
+        import pytest
+        pytest.skip("native hostenc unavailable")
+    cfg = PipelineConfig()
+    rng = np.random.default_rng(13)
+    seqs = []
+    for i in range(60):
+        L = int(rng.integers(100, 5000))
+        s = bytearray(rng.choice(np.frombuffer(b"ACGT", np.uint8), L))
+        if i % 9 == 4:
+            s[L // 2] = ord("N")
+        seqs.append(bytes(s))
+    rows_n, ri_n, g0_n = build_tiles(seqs, cfg)      # native (ext present)
+    saved, nat._hostenc = nat._hostenc, None
+    saved_t, nat._hostenc_tried = nat._hostenc_tried, True
+    try:
+        rows_p, ri_p, g0_p = build_tiles(seqs, cfg)  # numpy fallback
+    finally:
+        nat._hostenc, nat._hostenc_tried = saved, saved_t
+    assert np.array_equal(ri_n, ri_p)
+    assert np.array_equal(g0_n, g0_p)
+    assert np.array_equal(rows_n, rows_p)
+
+
+def test_tile_scan_detects_synthetic_chimeras():
+    """Tiled chimera scan semantics on synthetic junctions (ADVICE r3):
+    single-junction chimeras split once, multi-junction reads are
+    discarded, clean long reads produce no splits."""
+    from sicelore_tpu.utils.config import PipelineConfig
+    cfg = PipelineConfig()
+    model = ReadScanModel(cfg)
+    rng = np.random.default_rng(14)
+    wl = synth.make_whitelist(rng, 8)
+    seqs, want_split, want_discard = [], set(), set()
+    for i in range(24):
+        u = i % 4
+        if u == 0:  # clean long read
+            r = synth.make_read(rng, wl[i % 8], cdna_len=3000,
+                                error_rate=0.03)
+            seqs.append(r["seq"])
+        elif u == 1:  # single chimera (A-junction + T-junction cassette)
+            r = synth.make_chimera(rng, wl[i % 8], wl[(i + 3) % 8],
+                                   cdna_len=900)
+            seqs.append(r["seq"])
+            want_split.add(i)
+        elif u == 2:  # double chimera -> multi-junction discard
+            r1 = synth.make_chimera(rng, wl[i % 8], wl[(i + 1) % 8],
+                                    cdna_len=900)
+            r2 = synth.make_read(rng, wl[(i + 2) % 8], cdna_len=900,
+                                 error_rate=0.02)
+            seqs.append(r1["seq"] + r2["seq"])
+            want_discard.add(i)
+        else:  # short read: no tiles at all
+            r = synth.make_read(rng, wl[i % 8], cdna_len=200,
+                                error_rate=0.03)
+            seqs.append(r["seq"])
+    splits, discard = model.finish_internal_tiles(
+        model.internal_tiles_async(seqs))
+    for i in want_split:
+        assert i in splits and len(splits[i]) == 1, (i, splits.get(i))
+        # the split must land near the junction (between the two cDNAs)
+        j = splits[i][0]
+        assert 0 < j < len(seqs[i])
+    for i in want_discard:
+        assert i in discard or i in splits, i
+    for i in range(24):
+        if i % 4 in (0, 3):
+            assert i not in splits and i not in discard, i
