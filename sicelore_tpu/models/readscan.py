@@ -847,22 +847,41 @@ SEARCH_ROWS = 5  # best_ed, idx_lo, idx_hi, second_ed, overflow
 
 from sicelore_tpu.ops import edgescan as eg2  # noqa: E402
 
-P2_ROWS = (eg2.ROW_IS_FWD, eg2.ROW_STRANDED, eg2.ROW_HAS_POLYAT,
-           eg2.ROW_PS, eg2.ROW_PE, eg2.ROW_AE, eg2.ROW_TSO_END)
-P2_ROW_NAMES = ("is_fwd", "stranded", "has_polyat", "ps", "pe", "ae",
-                "tso_end")
-P1_ROWS = (eg2.ROW_IS_FWD, eg2.ROW_STRANDED, eg2.ROW_HAS_POLYAT,
-           eg2.ROW_AE, eg2.ROW_AD_RUN, eg2.ROW_KMER_LO, eg2.ROW_KMER_HI,
-           eg2.ROW_KMER_VALID)
-P1_ROW_NAMES = ("is_fwd", "stranded", "has_polyat", "ae", "adapter_run",
-                "kmer_lo", "kmer_hi", "kmer_valid")
+# downloaded row sets. The d2h link is the scarce resource (nominal
+# 15-20 MB/s through the tunnel, much worse in congested windows), so
+# boolean/small rows bit-pack into one FLAGS row per pass:
+#   pass-2 flags: is_fwd | stranded<<1 | has_polyat<<2 | overflow<<3
+#                 | idx_hi<<4        (idx_hi = best_idx >> 16, < 1024)
+#   pass-1 flags: is_fwd | stranded<<1 | has_polyat<<2 | kmer_valid<<3
+#                 | adapter_run<<4   (run <= pattern length 31)
+P2_META_ROWS = (eg2.ROW_PS, eg2.ROW_PE, eg2.ROW_AE, eg2.ROW_TSO_END)
+P2_ROW_NAMES = ("flags", "ps", "pe", "ae", "tso_end",
+                "best_ed", "idx_lo", "second_ed")
+P1_META_ROWS = (eg2.ROW_AE, eg2.ROW_KMER_LO, eg2.ROW_KMER_HI)
+P1_ROW_NAMES = ("flags", "ae", "kmer_lo", "kmer_hi")
+
+
+def _unpack_flag_rows(arr: np.ndarray, names) -> dict:
+    """[R, B] i16 -> named int64 rows with the flags row expanded."""
+    rows = {n: arr[i].astype(np.int64) for i, n in enumerate(names)}
+    fl = rows.pop("flags")
+    rows["is_fwd"] = fl & 1
+    rows["stranded"] = (fl >> 1) & 1
+    rows["has_polyat"] = (fl >> 2) & 1
+    if "best_ed" in rows:      # pass-2 layout
+        rows["overflow"] = (fl >> 3) & 1
+        rows["idx_hi"] = (fl >> 4) & 0x3FF
+    else:                      # pass-1 layout
+        rows["kmer_valid"] = (fl >> 3) & 1
+        rows["adapter_run"] = (fl >> 4) & 0x3F
+    return rows
 
 
 def finalize_rows_np(arr: np.ndarray, names, true_lens: np.ndarray,
                      cfg: PipelineConfig) -> dict:
     """Host finalization of a downloaded int16 row subset: half-local
     coordinates -> true stranded coords (see edgescan.finalize_meta_np)."""
-    rows = {n: arr[i].astype(np.int64) for i, n in enumerate(names)}
+    rows = _unpack_flag_rows(arr, names)
     L = np.asarray(true_lens).astype(np.int64)
     is_fwd = rows["is_fwd"] != 0
     stranded = rows["stranded"] != 0
@@ -899,6 +918,9 @@ def finalize_rows_np(arr: np.ndarray, names, true_lens: np.ndarray,
         out["bc_kmer"] = (((rows["kmer_hi"] & 0xFFFF) << 16)
                           | (rows["kmer_lo"] & 0xFFFF)).astype(np.uint32)
         out["bc_kmer_valid"] = rows["kmer_valid"] != 0
+    for k in ("best_ed", "idx_lo", "idx_hi", "second_ed", "overflow"):
+        if k in rows:
+            out[k] = rows[k]
     return out
 
 
@@ -935,15 +957,19 @@ def make_scan_search2_body(cfg: PipelineConfig, mode: str, radius: int = 2,
             p1 = jnp.take_along_axis(pos, i1[:, None], axis=1)[:, 0]
             best = jnp.stack([b1, i1, b2, p1], axis=0)
             overflow = jnp.zeros_like(b1)
-        meta16 = jnp.stack([jnp.clip(meta[r], -I16_BIG, I16_BIG)
-                            for r in P2_ROWS], axis=0).astype(jnp.int16)
-        brows = jnp.stack([
-            jnp.clip(best[0], -I16_BIG, I16_BIG),
-            best[1] & 0xFFFF,
-            best[1] >> 16,
-            jnp.clip(best[2], -I16_BIG, I16_BIG),
-            overflow], axis=0).astype(jnp.int16)
-        return jnp.concatenate([meta16, brows], axis=0)
+        flags = (meta[eg2.ROW_IS_FWD]
+                 | (meta[eg2.ROW_STRANDED] << 1)
+                 | (meta[eg2.ROW_HAS_POLYAT] << 2)
+                 | (jnp.minimum(overflow, 1) << 3)
+                 | ((best[1] >> 16) << 4))
+        rows16 = jnp.stack(
+            [flags]
+            + [jnp.clip(meta[r], -I16_BIG, I16_BIG) for r in P2_META_ROWS]
+            + [jnp.clip(best[0], -I16_BIG, I16_BIG),
+               best[1] & 0xFFFF,
+               jnp.clip(best[2], -I16_BIG, I16_BIG)],
+            axis=0).astype(jnp.int16)
+        return rows16
 
     return fn
 
@@ -955,9 +981,14 @@ def make_pass1_body2(cfg: PipelineConfig):
 
     def fn(packed_tm, peq_ad, peq_adc, peq_tso):
         meta = body(packed_tm, peq_ad, peq_adc, peq_tso)
+        flags = (meta[eg2.ROW_IS_FWD]
+                 | (meta[eg2.ROW_STRANDED] << 1)
+                 | (meta[eg2.ROW_HAS_POLYAT] << 2)
+                 | (meta[eg2.ROW_KMER_VALID] << 3)
+                 | (jnp.clip(meta[eg2.ROW_AD_RUN], 0, 63) << 4))
         # plain wrap-cast: the kmer rows are uint16-valued (the host
-        # re-masks & 0xFFFF); every other P1 row fits int16 natively
-        return jnp.stack([meta[r] for r in P1_ROWS],
+        # re-masks & 0xFFFF); every other row fits int16 natively
+        return jnp.stack([flags] + [meta[r] for r in P1_META_ROWS],
                          axis=0).astype(jnp.int16)
 
     return fn
@@ -1439,18 +1470,18 @@ class ReadScanModel:
         parts, qv2, true_lens, dirty, seqs, quals, B, qsum = handles
         arr = np.concatenate([np.asarray(h) for h in parts],
                              axis=1)[:, :B]
-        K = len(P2_ROWS)
-        out = finalize_rows_np(arr[:K], P2_ROW_NAMES, true_lens, self.cfg)
+        out = finalize_rows_np(arr, P2_ROW_NAMES, true_lens, self.cfg)
         # pass-2 emit consumes only x_qv (bc/read QV are pass-1 criteria)
         eg2.compute_qvs2_np(qv2, true_lens, out,
                             self.cfg.barcodes.cell_bc_length, self.is5p,
                             qsum, need_bc=False, need_read=False)
-        b = arr[K:K + 4].astype(np.int64)
-        idx = (b[1] & 0xFFFF) | (b[2] << 16)
-        ed = np.where(b[0] >= I16_BIG, bcsearch_BIG_MIN, b[0])
-        ed2 = np.where(b[3] >= I16_BIG, editdist.INT_MAX, b[3])
+        idx = (out["idx_lo"] & 0xFFFF) | (out["idx_hi"] << 16)
+        ed = np.where(out["best_ed"] >= I16_BIG, bcsearch_BIG_MIN,
+                      out["best_ed"])
+        ed2 = np.where(out["second_ed"] >= I16_BIG, editdist.INT_MAX,
+                       out["second_ed"])
         bc = {"ed": ed, "idx": idx, "ed2": ed2}
-        redo = dirty | (arr[K + 4] != 0)
+        redo = dirty | (out["overflow"] != 0)
         if redo.any():
             idxs = np.nonzero(redo)[0]
             sub_out, sub_bc = self._scan_search_sync(
