@@ -474,6 +474,18 @@ def _add_simple_programs(sub):
     p.add_argument("--consensus", action="store_true")
     p.add_argument("--collapse", action="store_true")
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--nativeAlign", action="store_true",
+                   help="use the framework's own spliced aligner instead "
+                        "of the minimap2 subprocess (align/ package)")
+
+    p = sub.add_parser("align", help="spliced long-read alignment -> "
+                       "sorted BAM+BAI (the minimap2 -ax splice role, "
+                       "framework-native)")
+    p.add_argument("-r", "--reference", required=True, help="genome fasta")
+    p.add_argument("-d", "--fastq", required=True,
+                   help="fastq file or directory")
+    p.add_argument("-O", "--OUTPUT", required=True, help="output BAM")
+    p.add_argument("--keep-unmapped", action="store_true")
 
     p = sub.add_parser("histo", help="histogram programs (reference Histo*)")
     p.add_argument("KIND", choices=["readlength", "fastqmeanqv", "clipping",
@@ -675,8 +687,14 @@ def cmd_simple(args) -> int:
             bc_ed=args.bcEditDistance, junc_bed=args.juncBed,
             minimap2_path=args.minimap2, threads=args.threads,
             with_consensus=args.consensus, with_collapse=args.collapse,
-            resume=not args.no_resume)
+            resume=not args.no_resume, native_align=args.nativeAlign)
         r = {k: "ok" for k in r}
+    elif args.cmd == "align":
+        from sicelore_tpu.align import NativeAligner
+        aln = NativeAligner(args.reference)
+        r = aln.align_fastq_to_bam(args.fastq, args.OUTPUT,
+                                   keep_unmapped=args.keep_unmapped)
+        print(f"align done: {r['mapped']}/{r['reads']} reads mapped")
     elif args.cmd == "histo":
         from sicelore_tpu.pipeline import qc
         r = qc.histo(args.KIND, args.INPUT, args.OUTPUT)

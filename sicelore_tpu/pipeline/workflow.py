@@ -69,7 +69,8 @@ def run_pipeline(fastq_dir, ref_fa, refflat, outdir, whitelist=None,
                  cells_csv=None, bc_ed: int = 1, junc_bed=None,
                  minimap2_path=None, threads: int = 4,
                  with_consensus: bool = False, with_collapse: bool = False,
-                 min_umi: int = 1, resume: bool = True, log=print):
+                 min_umi: int = 1, resume: bool = True, log=print,
+                 native_align: bool = False):
     """Full pipeline; every stage output is a resume checkpoint."""
     out = Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
@@ -108,9 +109,16 @@ def run_pipeline(fastq_dir, ref_fa, refflat, outdir, whitelist=None,
     bam = out / "passed.sorted.bam"
 
     def _align(target):
-        aln = Minimap2Aligner(minimap2_path, threads, junc_bed)
         fastqs = sorted((scan_dir / "passed").glob("*.fastq*"))
-        results["aligned_records"] = aln.align(ref_fa, fastqs, target)
+        if native_align:
+            # framework-native spliced aligner (align/, the minimap2 role)
+            from sicelore_tpu.align import NativeAligner
+            aln2 = NativeAligner(ref_fa)
+            st = aln2.align_fastq_to_bam(scan_dir / "passed", target)
+            results["aligned_records"] = st["mapped"]
+        else:
+            aln = Minimap2Aligner(minimap2_path, threads, junc_bed)
+            results["aligned_records"] = aln.align(ref_fa, fastqs, target)
 
     stage("minimap2", bam, _align)
 
