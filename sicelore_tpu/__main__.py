@@ -485,6 +485,9 @@ def _add_simple_programs(sub):
     p.add_argument("-d", "--fastq", required=True,
                    help="fastq file or directory")
     p.add_argument("-O", "--OUTPUT", required=True, help="output BAM")
+    p.add_argument("--juncBed", default=None,
+                   help="annotated junction BED (chrom/start/end), the "
+                        "minimap2 --junc-bed role")
     p.add_argument("--keep-unmapped", action="store_true")
 
     p = sub.add_parser("histo", help="histogram programs (reference Histo*)")
@@ -691,7 +694,7 @@ def cmd_simple(args) -> int:
         r = {k: "ok" for k in r}
     elif args.cmd == "align":
         from sicelore_tpu.align import NativeAligner
-        aln = NativeAligner(args.reference)
+        aln = NativeAligner(args.reference, junc_bed=args.juncBed)
         r = aln.align_fastq_to_bam(args.fastq, args.OUTPUT,
                                    keep_unmapped=args.keep_unmapped)
         print(f"align done: {r['mapped']}/{r['reads']} reads mapped")

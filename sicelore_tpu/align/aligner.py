@@ -22,13 +22,33 @@ from sicelore_tpu.utils import dna
 
 class NativeAligner:
     def __init__(self, reference, k: int = idx.K, w: int = idx.W,
-                 use_device: bool | None = None):
+                 use_device: bool | None = None, junc_bed=None):
         if isinstance(reference, (str, Path)):
             contigs = idx.load_fasta(reference)
         else:
             contigs = reference
         self.index = idx.MinimizerIndex(contigs, k, w)
         self.k = k
+        # annotated introns per contig (minimap2 --junc-bed role): BED
+        # rows chrom/start/end[/...]; junctions within SNAP of a detected
+        # one take priority over GT-AG motif snapping
+        self.junctions: dict[str, tuple] = {}
+        if junc_bed:
+            per: dict[str, list] = {}
+            import gzip
+            op = gzip.open if str(junc_bed).endswith(".gz") else open
+            with op(str(junc_bed), "rt") as fh:
+                for line in fh:
+                    f = line.rstrip("\n").split("\t")
+                    if len(f) < 3 or f[0].startswith(("#", "track")):
+                        continue
+                    per.setdefault(f[0], []).append(
+                        (int(f[1]), int(f[2])))
+            for c, lst in per.items():
+                lst.sort()
+                self.junctions[c] = (
+                    np.array([a for a, _ in lst], np.int64),
+                    np.array([b for _, b in lst], np.int64))
         if use_device is None:
             try:
                 import jax
@@ -152,6 +172,21 @@ class NativeAligner:
                     ext._merge(ops, op, n)
             elif kind == "intron":
                 _, intron, jlocal, Q = seg
+                ann = self._annotated_junction(
+                    plan["ci"], jlocal, len(Q), intron, len(Q) + intron)
+                if ann is not None:
+                    as_, ae_ = ann
+                    left = as_ - jlocal
+                    ext._merge(ops, "M", left)
+                    ext._merge(ops, "N", ae_ - as_)
+                    rest_q = len(Q) - left
+                    rest_r = (len(Q) + intron) - (ae_ - as_) - left
+                    if rest_q == rest_r:
+                        ext._merge(ops, "M", rest_q)
+                    else:
+                        for op, n in ext.plain_gap_ops(rest_r, rest_q):
+                            ext._merge(ops, op, n)
+                    continue
                 jsnap = ext.snap_junction(cseq, jlocal + len(Q), intron)
                 left = int(np.clip(jsnap - jlocal, 0, len(Q)))
                 ext._merge(ops, "M", left)
@@ -198,6 +233,32 @@ class NativeAligner:
             qual=bytes(q - 33 for q in qv),
             tags=[("NM", "i", nm), ("AS", "i", int(plan["score"])),
                   ("de", "f", de), ("tp", "A", "P")])
+
+    def _annotated_junction(self, ci: int, jlocal: int, qlen: int,
+                            intron: int, rlen: int):
+        """Closest annotated intron compatible with the detected one:
+        start within the query-gap span, length within +-16 of the
+        estimate, consistent with the ref segment. -> (start, end) local
+        coords or None."""
+        ann = self.junctions.get(self.index.names[ci])
+        if ann is None:
+            return None
+        starts, ends = ann
+        lo = np.searchsorted(starts, jlocal)
+        hi = np.searchsorted(starts, jlocal + qlen + 1)
+        best = None
+        for i in range(lo, hi):
+            as_, ae_ = int(starts[i]), int(ends[i])
+            ilen = ae_ - as_
+            left = as_ - jlocal
+            if abs(ilen - intron) > 16 or not (0 <= left <= qlen):
+                continue
+            if left + ilen > rlen:
+                continue
+            d = abs(as_ - (jlocal + qlen))
+            if best is None or d < best[0]:
+                best = (d, as_, ae_)
+        return (best[1], best[2]) if best else None
 
     # ---- batch / file APIs ------------------------------------------------
 

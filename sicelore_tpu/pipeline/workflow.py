@@ -113,7 +113,7 @@ def run_pipeline(fastq_dir, ref_fa, refflat, outdir, whitelist=None,
         if native_align:
             # framework-native spliced aligner (align/, the minimap2 role)
             from sicelore_tpu.align import NativeAligner
-            aln2 = NativeAligner(ref_fa)
+            aln2 = NativeAligner(ref_fa, junc_bed=junc_bed)
             st = aln2.align_fastq_to_bam(scan_dir / "passed", target)
             results["aligned_records"] = st["mapped"]
         else:

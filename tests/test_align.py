@@ -197,3 +197,27 @@ def test_native_align_full_pipeline(tmp_path):
         assert got == want, (g, got)
     iso = (out / "isomatrix" / "sicelore_isomatrix.txt").read_text()
     assert "\tT1\t1\t" in iso and "\tT2\t2\t" in iso
+
+
+def test_junc_bed_snapping(genome, tmp_path):
+    """Annotated junctions (--junc-bed role) override motif snapping: the
+    N op takes the exact annotated intron."""
+    g = genome["chrT"]
+    s, e1, e2 = 70_000, 420, 380
+    intron_start, intron_len = s + e1, 2517
+    read = g[s:intron_start] + g[intron_start + intron_len:
+                                 intron_start + intron_len + e2]
+    bed = tmp_path / "junc.bed"
+    bed.write_text(f"chrT\t{intron_start}\t{intron_start + intron_len}\tj1\n")
+    al = NativeAligner(genome, junc_bed=bed)
+    rec = al.align_batch([b"jb"], [read])[0]
+    ns = [(op, n) for op, n in rec.cigar if op == "N"]
+    assert ns == [("N", intron_len)], rec.cigar
+    # exact junction position: ref consumed before N equals e1
+    before = 0
+    for op, n in rec.cigar:
+        if op == "N":
+            break
+        if op in ("M", "D"):
+            before += n
+    assert rec.pos + before == intron_start
