@@ -268,6 +268,8 @@ def make_tile_scan_kernel(cfg: PipelineConfig, interpret: bool = False):
                 bytes_accessed=T * PACK_ROWS),
             interpret=interpret,
         )(peq1, p3)
-        return out.reshape(3, T)
+        # int16 download: splits are tile-local (< TILE + slack) and the
+        # d2h link is the scarce resource
+        return out.reshape(3, T).astype(jnp.int16)
 
     return fn if interpret else jax.jit(fn)
