@@ -290,11 +290,6 @@ EDGE_META_KEYS = (
     "is_fwd", "stranded", "has_polyat", "ps", "pe", "ae", "adapter_ed",
     "adapter_complete_ed", "adapter_run", "tso_end", "tso_ed",
     "x_start", "x_end")
-# d2h through the tunnel streams at ~15 MB/s, so the hot paths download
-# only the rows their host side consumes:
-P2_META_KEYS = ("is_fwd", "stranded", "ps", "pe", "ae", "tso_end",
-                "x_start", "x_end")          # fused pass-2 emit set
-P1_META_KEYS = ("is_fwd", "stranded", "ae", "adapter_run")  # pass-1 filter
 _BOOL_KEYS = {"is_fwd", "stranded", "has_polyat"}
 I16_BIG = 32000
 
@@ -303,94 +298,6 @@ def _pack_meta(out: dict, keys=EDGE_META_KEYS) -> jax.Array:
     rows = [jnp.clip(out[k].astype(jnp.int32), -I16_BIG, I16_BIG)
             .astype(jnp.int16) for k in keys]
     return jnp.stack(rows, axis=0)
-
-
-def _pass1_rows(cfg: PipelineConfig, out: dict) -> jax.Array:
-    """Pass-1 meta rows + (kmer_lo, kmer_hi, kmer_valid) where kmer =
-    2-bit packed exact barcode window (uint32 = lo | hi << 16), valid iff
-    all A/C/G/T."""
-    bc_len = cfg.barcodes.cell_bc_length
-    pad = cfg.readscanner.test_plus_minus_pos
-    meta = _pack_meta(out, P1_META_KEYS)
-    codes = out["bc_windows"][:, pad:pad + bc_len].astype(jnp.uint32)
-    valid = jnp.all(codes < 4, axis=1)
-    kmer = jnp.zeros(codes.shape[0], jnp.uint32)
-    for i in range(bc_len):
-        kmer = (kmer << jnp.uint32(2)) | jnp.minimum(codes[:, i], 3)
-    rows = jnp.stack([
-        (kmer & 0xFFFF).astype(jnp.int32),
-        (kmer >> 16).astype(jnp.int32),
-        valid.astype(jnp.int32)], axis=0).astype(jnp.int16)
-    return jnp.concatenate([meta, rows], axis=0)
-
-
-def make_pass1_fn(cfg: PipelineConfig, peq_ad, peq_adc, peq_tso):
-    """Pass-1 4-bit variant (exact fallback for reads containing N).
-
-    fn(packed [B, EDGE+4] uint8 nibble composite) -> int16 matrix
-    [len(EDGE_META_KEYS) + 3, B]."""
-    body = make_edge_scan_fn(cfg)
-    peq_ad, peq_adc, peq_tso = (np.asarray(peq_ad), np.asarray(peq_adc),
-                                np.asarray(peq_tso))
-
-    @jax.jit
-    def fn(packed):
-        seq = unpack_nibbles(packed[:, :-4])
-        lb = packed[:, -4:].astype(jnp.int32)
-        lens = lb[:, 0] | (lb[:, 1] << 8) | (lb[:, 2] << 16) | (lb[:, 3] << 24)
-        out = body(seq, lens, jnp.asarray(peq_ad), jnp.asarray(peq_adc),
-                   jnp.asarray(peq_tso))
-        return _pass1_rows(cfg, out)
-
-    return fn
-
-
-def _make_pass1_inner(cfg: PipelineConfig, peq_ad, peq_adc, peq_tso):
-    body = make_edge_scan_fn(cfg)
-    peq_ad, peq_adc, peq_tso = (np.asarray(peq_ad), np.asarray(peq_adc),
-                                np.asarray(peq_tso))
-
-    def inner(packed):
-        seq = unpack_2bit(packed[:, :-4])
-        lb = packed[:, -4:].astype(jnp.int32)
-        lens = lb[:, 0] | (lb[:, 1] << 8) | (lb[:, 2] << 16) | (lb[:, 3] << 24)
-        out = body(seq, lens, jnp.asarray(peq_ad), jnp.asarray(peq_adc),
-                   jnp.asarray(peq_tso))
-        return _pass1_rows(cfg, out)
-
-    return inner
-
-
-def make_pass1_map_fn(cfg: PipelineConfig, peq_ad, peq_adc, peq_tso):
-    """Pass-1 lax.map mega dispatcher over [C, SLICE, EDGE/2+4] 2-bit slice
-    stacks — one RPC pair per mega batch (see make_scan_search_map_fn)."""
-    inner = _make_pass1_inner(cfg, peq_ad, peq_adc, peq_tso)
-
-    @jax.jit
-    def mega(packed3):
-        return jax.lax.map(inner, packed3)
-
-    return mega
-
-
-def make_pass1_sharded_fn(cfg: PipelineConfig, peq_ad, peq_adc, peq_tso,
-                          mesh, data_axis: str = "data"):
-    """Multi-chip pass-1 dispatcher: the [C, SLICE, E+4] slice stack is
-    data-parallel over `data_axis` (each chip lax.maps its C/n local
-    slices); results need no collective — per-read rows concatenate on the
-    host exactly like the single-chip path. The TPU analog of the jar's
-    per-file worker pool at pod-slice scale (SURVEY §2.d row 1)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    inner = _make_pass1_inner(cfg, peq_ad, peq_adc, peq_tso)
-
-    def local(packed3):
-        return jax.lax.map(inner, packed3)
-
-    sharded = jax.shard_map(local, mesh=mesh, in_specs=P(data_axis),
-                            out_specs=P(data_axis), check_vma=False)
-    return jax.jit(sharded,
-                   in_shardings=NamedSharding(mesh, P(data_axis)))
 
 
 def make_edge_scan_packed_fn(cfg: PipelineConfig):
@@ -1040,113 +947,6 @@ def make_sharded2(inner, mesh, n_args: int, data_axis: str = "data"):
     sh = NamedSharding(mesh, P(data_axis))
     rep = NamedSharding(mesh, P())
     return jax.jit(sharded, in_shardings=(sh,) + (rep,) * n_args)
-
-
-def make_scan_search_body(cfg: PipelineConfig, mode: str, radius: int = 2,
-                          K: int = 64, bt: int = 256, nt: int = 1024):
-    """Fused edge scan + whitelist search body (un-jitted; composed into
-    the lax.map mega dispatcher so a whole multi-slice batch is ONE upload
-    and ONE download — each RPC over the remote-TPU tunnel costs ~50ms).
-
-    mode: "prefilter" — MXU q-gram candidate matmul + top-K Myers verify,
-          exact within `radius` (ops/bcsearch.qgram_prefilter_search);
-          "pallas"    — brute Myers sweep Pallas kernel (small used lists);
-          "jnp"       — brute jnp sweep (CPU tests).
-
-    fn(packed [B, EDGE/2+4] uint8 — 2-bit composite plus little-endian
-    length bytes — peq_ad, peq_adc, peq_tso, peq_bc [4, N] uint32,
-    nvalid [1] int32, qgram_t [256, N] f32) -> int16 matrix
-    [len(EDGE_META_KEYS) + SEARCH_ROWS, B]: meta rows then (best_ed,
-    idx_lo, idx_hi, second_ed, end_pos, overflow); idx = lo | hi << 16.
-    """
-    from sicelore_tpu.ops import bcsearch  # local import: avoids cycle
-
-    body = make_edge_scan_fn(cfg)
-    m = cfg.barcodes.cell_bc_length
-
-    def fn(packed, peq_ad, peq_adc, peq_tso, peq_bc, nvalid, qgram_t):
-        seq = unpack_2bit(packed[:, :-4])
-        lb = packed[:, -4:].astype(jnp.int32)
-        lens = lb[:, 0] | (lb[:, 1] << 8) | (lb[:, 2] << 16) | (lb[:, 3] << 24)
-        out = body(seq, lens, peq_ad, peq_adc, peq_tso)
-        meta = _pack_meta(out, P2_META_KEYS)
-        wins = out["bc_windows"]
-        if mode == "prefilter":
-            res = bcsearch.qgram_prefilter_search(
-                wins, qgram_t, peq_bc, nvalid, m, radius, K)
-            best, overflow = res[:4], res[4]
-        elif mode == "pallas":
-            # end positions are never consumed downstream of the fused
-            # path — track_pos=False drops 2 of 18 inner-loop ops
-            best = bcsearch.bc_sweep_pallas(wins.astype(jnp.int32), peq_bc,
-                                            nvalid, m, bt=bt, nt=nt,
-                                            track_pos=False)
-            overflow = jnp.zeros_like(best[0])
-        else:
-            N = peq_bc.shape[1]
-            ed, pos = editdist.myers_sweep(wins, peq_bc, m)
-            gidx = jnp.arange(N, dtype=jnp.int32)[None, :]
-            ed = jnp.where(gidx < nvalid[0], ed, bcsearch.BIG)
-            b1, i1, b2, _ = editdist.best_two(ed)
-            p1 = jnp.take_along_axis(pos, i1[:, None], axis=1)[:, 0]
-            best = jnp.stack([b1, i1, b2, p1], axis=0)
-            overflow = jnp.zeros_like(b1)
-        brows = jnp.stack([
-            jnp.clip(best[0], -I16_BIG, I16_BIG),
-            best[1] & 0xFFFF,
-            best[1] >> 16,
-            jnp.clip(best[2], -I16_BIG, I16_BIG),
-            overflow], axis=0)
-        # int16 cast: idx_lo is uint16-valued; view back on host
-        return jnp.concatenate([meta, brows.astype(jnp.int16)], axis=0)
-
-    return fn
-
-
-def make_scan_search_map_fn(cfg: PipelineConfig, mode: str, radius: int = 2,
-                            K: int = 64):
-    """lax.map mega dispatcher over [C, SLICE, E+4] slice stacks.
-
-    The map element stays at SLICE rows (the remote compile service's time
-    grows ~quadratically with row count) while C slices ride ONE
-    upload/download pair; XLA compiles the body once per (C) shape and
-    loops it on-device back-to-back."""
-    inner = make_scan_search_body(cfg, mode, radius, K)
-
-    @jax.jit
-    def mega(packed3, peq_ad, peq_adc, peq_tso, peq_bc, nvalid, qgram_t):
-        return jax.lax.map(
-            lambda p: inner(p, peq_ad, peq_adc, peq_tso, peq_bc, nvalid,
-                            qgram_t), packed3)
-
-    return mega
-
-
-def make_scan_search_sharded_fn(cfg: PipelineConfig, mesh, mode: str,
-                                radius: int = 2, K: int = 64,
-                                data_axis: str = "data"):
-    """Multi-chip fused scan+search: slices data-parallel over `data_axis`,
-    the used-barcode list + adapter bitmasks replicated per chip (the
-    whitelist-replication strategy of SURVEY §2.d row 7). Per-read best/
-    second-best are computed entirely on the owning chip — no collective —
-    so the host-side emit path is byte-identical to single-chip."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    inner = make_scan_search_body(cfg, mode, radius, K)
-
-    def local(packed3, peq_ad, peq_adc, peq_tso, peq_bc, nvalid, qgram_t):
-        return jax.lax.map(
-            lambda p: inner(p, peq_ad, peq_adc, peq_tso, peq_bc, nvalid,
-                            qgram_t), packed3)
-
-    sharded = jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P(data_axis), P(), P(), P(), P(), P(), P()),
-        out_specs=P(data_axis), check_vma=False)
-    sh = lambda spec: NamedSharding(mesh, spec)
-    return jax.jit(sharded, in_shardings=(
-        sh(P(data_axis)), sh(P()), sh(P()), sh(P()), sh(P()), sh(P()),
-        sh(P())))
 
 
 class ReadScanModel:
