@@ -35,12 +35,31 @@ _SRC_MODULES = (
     "sicelore_tpu.ops.poa_tpu",
     "sicelore_tpu.models.readscan",
 )
-_src_digest: str | None = None
+
+# Which kernel-bearing modules each wrap() caller actually depends on:
+# keying every artifact on EVERY module meant one edit to poa_tpu.py
+# invalidated the 150-280 s tile-kernel artifact too (round-5 fix).
+_NAME_MODULES = {
+    "consensus": ("sicelore_tpu.ops.poa_tpu",),
+    "tile_scan": ("sicelore_tpu.ops.tilescan_tpu",
+                  "sicelore_tpu.ops.edgescan",
+                  "sicelore_tpu.models.readscan"),
+    "scan_mega": ("sicelore_tpu.ops.edgescan",
+                  "sicelore_tpu.ops.edgescan_tpu",
+                  "sicelore_tpu.ops.bcsearch", "sicelore_tpu.ops.editdist",
+                  "sicelore_tpu.ops.scan", "sicelore_tpu.models.readscan"),
+    "pass1_mega": ("sicelore_tpu.ops.edgescan",
+                   "sicelore_tpu.ops.edgescan_tpu",
+                   "sicelore_tpu.ops.scan",
+                   "sicelore_tpu.models.readscan"),
+}
+_digests: dict = {}
 
 
-def _digest() -> str:
-    global _src_digest
-    if _src_digest is None:
+def _digest(name: str = "") -> str:
+    mods = _NAME_MODULES.get(name, _SRC_MODULES)
+    key = _digests.get(mods)
+    if key is None:
         h = hashlib.sha256()
         h.update(jax.__version__.encode())
         try:
@@ -48,14 +67,15 @@ def _digest() -> str:
         except Exception:
             pass
         import importlib
-        for m in _SRC_MODULES:
+        for m in mods:
             try:
                 mod = importlib.import_module(m)
                 h.update(Path(mod.__file__).read_bytes())
             except Exception:
                 h.update(m.encode())
-        _src_digest = h.hexdigest()[:16]
-    return _src_digest
+        key = h.hexdigest()[:16]
+        _digests[mods] = key
+    return key
 
 
 def cache_dir() -> Path:
@@ -95,7 +115,7 @@ def wrap(name: str, extra_key: str, fn):
         hit = compiled.get(sig)
         if hit is None:
             key = hashlib.sha256(
-                f"{_digest()}|{name}|{extra_key}|{sig}".encode()
+                f"{_digest(name)}|{name}|{extra_key}|{sig}".encode()
             ).hexdigest()[:24]
             path = cache_dir() / f"{name}-{key}.jaxexp"
             exp = None
