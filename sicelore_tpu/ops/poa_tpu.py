@@ -48,6 +48,7 @@ from sicelore_tpu.utils import dna
 MATCH, MISMATCH, GAP = poa.MATCH, poa.MISMATCH, poa.GAP
 NEG = -(10**7)
 K_INS = 4
+_ACGT = b"ACGTacgt"  # delete-set for the N/ambiguity screen
 
 
 # ---------------------------------------------------------------------------
@@ -186,16 +187,25 @@ def consensus_votes(center: jax.Array, clens: jax.Array, reads: jax.Array,
 # dims are always exactly 128, so nothing pays Mosaic's pad-to-128 tax
 # (a [.., W, PP<128] layout padded F to 16.8 MB and blew the 16 MB VMEM).
 #
-# The kernel consumes PRECOMPUTED diagonal substitution bands (subs[j] row
-# = score of center[j-1] vs read[j+b-W2-1], +5/-4/-100-invalid, built by
-# one XLA gather+compare in _prep_bands) — so neither the reads nor the
-# center ever enter the kernel; the traceback emits per-column walk
-# records and the aligned/insertion codes are extracted afterwards by XLA
-# gathers (extract_alignments). Per-pair reductions over the band are
-# circular ring max-reductions (5 lane-rolls of stride 4*2^k): the rolls
-# stay phase-aligned, so each pair reduces over exactly its own 32 lanes
+# The kernel consumes PRECOMPUTED diagonal bands (one packed int8 per band
+# cell: bits 2-3 = match/mismatch/invalid code of center[j-1] vs
+# read[j+b-W2-1], bits 0-1 = the read char itself, built by sliding-window
+# static slices in _prep_bands) — so neither the reads nor the center ever
+# enter the kernel raw. Per-pair reductions over the band are circular
+# ring max-reductions (log2(W) lane-rolls of stride QP*2^k): the rolls
+# stay phase-aligned, so each pair reduces over exactly its own W lanes
 # and the result lands replicated across them — which is exactly the
 # broadcast every later op needs.
+#
+# The traceback emits ONE packed record per (pair, center column) —
+# bstop | be<<6 | diag<<12 | vert<<13 | active<<14 | char<<15 — and packs
+# W columns' records into each [G, 128] output row (lane band b holds
+# column j with (j-1) mod W == b), so the record store is Lc/W rows per
+# block instead of the round-4 Lc+ALN lane-replicated rows: 64x less HBM
+# write and, downstream, NO per-slot XLA gathers at all — the aligned
+# base code rides in the record (round-4's extract_alignments gathers
+# were measured at ~1.0 s of the 2.0 s device floor; the final
+# compaction scatter another 0.7 s — see tools/profile_consensus*.py).
 #
 # Feasibility ("can (clen, bt) be reached inside the band without
 # consuming read chars beyond rlen?") is tracked by a parallel 0/1
@@ -207,7 +217,7 @@ ALN = 16        # columns unrolled per loop iteration (a fori_loop
                 # iteration costs ~1.3 us of fixed overhead on this
                 # target) and the traceback record store batch
 GRP = 8         # sublane groups per tile
-SUB_INVALID = -100      # subs code for i out of the read range
+
 
 
 def w_for(Lc: int) -> int:
@@ -231,14 +241,15 @@ def pp_step(Lc: int) -> int:
 
 def _band_align_kernel(subs_ref, lens_ref, tb_ref, feas_ref, F, *,
                        Lc: int, W: int):
-    """Banded NW forward + greedy traceback metadata for pp_step(Lc) pairs.
+    """Banded NW forward + greedy traceback records for pp_step(Lc) pairs.
 
-    subs [Lc, G, 128] i8 diagonal substitution bands; lens [2, G, 128] i32
+    subs [Lc, G, 128] i8 packed diagonal bands (bits 2-3: 0 match /
+    1 mismatch / 2 invalid; bits 0-1: read char); lens [2, G, 128] i32
     (row 0 rlen, row 1 clen, replicated per pair's lanes). Outputs
-    tb [Lc+ALN, G, 128] i32 — row t < Lc records column j = t+1 as
-    bstop | be<<8 | diag<<16 | vert<<17 | active<<18, rows Lc.. hold the
-    j = 0 insertion drain; each record is replicated across its pair's
-    lanes — and feas [1, G, 128] i32. Scratch: F [Lc+1, G, 128] i32.
+    tb [Lc//W, G, 128] i32 — lane with band b of row r records column
+    j = r*W + b + 1 as bstop | be<<6 | diag<<12 | vert<<13 | active<<14
+    | char<<15 — and feas [2, G, 128] i32 (row 0 feasibility, row 1 the
+    j = 0 insertion-drain record). Scratch: F [Lc+1, G, 128] i32.
     """
     W2 = W // 2
     QP = 128 // W
@@ -264,7 +275,7 @@ def _band_align_kernel(subs_ref, lens_ref, tb_ref, feas_ref, F, *,
         return jnp.where(band < W + sh, r, zero + fill)
 
     def ring_max(x):
-        """Max over each pair's 32 band lanes, replicated back to them."""
+        """Max over each pair's W band lanes, replicated back to them."""
         sh = 1
         while sh < W:
             x = jnp.maximum(x, pltpu.roll(x, (sh * QP) % 128, axis=1))
@@ -287,6 +298,16 @@ def _band_align_kernel(subs_ref, lens_ref, tb_ref, feas_ref, F, *,
             sh *= 2
         return r
 
+    def decode(j):
+        """subs column j: (score [G,128] i32, valid 0/1, char 0..3)."""
+        s8 = subs_ref[j - 1].astype(jnp.int32)
+        code = s8 >> 2
+        ch = s8 & 3
+        is_m = m(code == 0)
+        is_x = m(code == 1)
+        sc = is_m * MATCH + is_x * MISMATCH + (1 - is_m - is_x) * neg
+        return sc, is_m + is_x, ch
+
     i0 = band - W2
     valid0 = m(i0 >= 0) * m(i0 <= rlen)
     F0 = valid0 * (i0 * g) + (1 - valid0) * neg
@@ -297,9 +318,7 @@ def _band_align_kernel(subs_ref, lens_ref, tb_ref, feas_ref, F, *,
         j0 = blk * ALN
         for u in range(ALN):                             # unrolled columns
             j = j0 + (u + 1)
-            s8 = subs_ref[j - 1].astype(jnp.int32)       # [G, 128]
-            valid = m(s8 != SUB_INVALID)
-            sc = valid * s8 + (1 - valid) * neg
+            sc, valid, _ = decode(j)
             diag = f + sc
             up = shift_band(f, -1, neg) + g
             fn = jnp.maximum(diag, up)
@@ -324,75 +343,101 @@ def _band_align_kernel(subs_ref, lens_ref, tb_ref, feas_ref, F, *,
     feasible = m(bt >= 0) * m(bt < W) * m(reached > 0)
     feas_ref[0] = feasible
 
-    # ---- traceback metadata (j descending; records land in ALN-row
-    # batches so the tb stores stay sublane-aligned) ----
-    zA = jnp.zeros((ALN, G, 128), jnp.int32)
-    ridx = jax.lax.broadcasted_iota(jnp.int32, (ALN, G, 128), 0)
-
+    # ---- traceback (j descending); W columns' records accumulate into
+    # one [G, 128] row (lane band b <- column with (j-1) mod W == b), so
+    # each record row stores once per W columns ----
     def tb_blk(blkr, carry):
-        b, frozen, fj = carry                            # fj = F[j]
+        b, frozen, fj, racc = carry                      # fj = F[j]
         blk = Lc // ALN - 1 - blkr
         j0 = blk * ALN
-        recs = zA
         for u in range(ALN - 1, -1, -1):
             j = j0 + (u + 1)
-            s8 = subs_ref[j - 1].astype(jnp.int32)
-            valid = m(s8 != SUB_INVALID)
-            sub = valid * s8 + (1 - valid) * neg
+            sc, valid, _ = decode(j)
             fjm1 = F[j - 1]
-            diag_m = valid * m(fj == fjm1 + sub)
+            diag_m = valid * m(fj == fjm1 + sc)
             vert_m = ((1 - diag_m) * m(band + 1 < W)
                       * m(fj == shift_band(fjm1, -1, neg) + g))
-            # one ring reduction finds the stop cell AND its move type:
-            # larger band dominates, move bits break nothing (b unique)
+            # one ring reduction finds the stop cell, its move type AND
+            # its read char: larger band dominates; lower bits ride along
             stop_ok = (jnp.maximum(jnp.maximum(diag_m, vert_m),
                                    m(band == 0)) * m(band <= b))
-            cand = stop_ok * ((band << 2) | (diag_m << 1) | vert_m) \
-                - (1 - stop_ok)
+            chb = subs_ref[j - 1].astype(jnp.int32) & 3
+            cand = stop_ok * ((band << 4) | (diag_m << 3) | (vert_m << 2)
+                              | chb) - (1 - stop_ok)
             top = ring_max(cand)
-            bstop = top >> 2
-            stop_diag = (top >> 1) & 1
-            stop_vert = top & 1
+            bstop = top >> 4
+            stop_diag = (top >> 3) & 1
+            stop_vert = (top >> 2) & 1
+            ch = top & 3
             stuck = (1 - stop_diag) * (1 - stop_vert)
             active = feasible * (1 - frozen) * m(j <= clen)
-            rec = (bstop | (b << 8)
-                   | ((stop_diag * active) << 16)
-                   | ((stop_vert * active) << 17)
-                   | (active << 18))
-            recs = jnp.where(ridx == u, rec + zA, recs)
+            rec = (bstop | (b << 6)
+                   | ((stop_diag * active) << 12)
+                   | ((stop_vert * active) << 13)
+                   | (active << 14) | (ch << 15))
+            racc = jnp.where(band == (j0 + u) % W, rec, racc)
             frozen = jnp.maximum(frozen, active * stuck)
             move = active * (1 - stuck)
             b = b * (1 - move) + (bstop + stop_vert) * move
             fj = fjm1
-        tb_ref[pl.ds(j0, ALN)] = recs                    # slots j0..j0+ALN-1
-        return b, frozen, fj
 
-    b, frozen, _ = jax.lax.fori_loop(
-        0, Lc // ALN, tb_blk, (btc, zero, F[Lc]))
+        @pl.when(j0 % W == 0)
+        def _store():
+            tb_ref[pl.ds(j0 // W, 1)] = racc[None]
+        return b, frozen, fj, racc
+
+    b, frozen, _, _ = jax.lax.fori_loop(
+        0, Lc // ALN, tb_blk, (btc, zero, F[Lc], zero))
     # j = 0 drain: remaining insertions (read prefix before center start;
     # the walk stops at band W2 — read position 0)
     bstop0 = jnp.minimum(zero + W2, b)
     active0 = feasible * (1 - frozen) * m(b > W2)
-    drain = bstop0 | (b << 8) | (active0 << 18)
-    tb_ref[pl.ds(Lc, ALN)] = jnp.broadcast_to(drain, (ALN, G, 128))
+    feas_ref[1] = bstop0 | (b << 6) | (active0 << 14)
+
+
+def unpack2bit_cols(packed: jax.Array) -> jax.Array:
+    """[E, P] u8 (4 bases/byte along rows) -> [4E, P] i8 codes."""
+    E, P = packed.shape
+    parts = [((packed >> s) & jnp.uint8(3)).astype(jnp.int8)
+             for s in (0, 2, 4, 6)]
+    return jnp.stack(parts, axis=1).reshape(E * 4, P)
+
+
+def unpack2bit_rows(packed: jax.Array) -> jax.Array:
+    """[M, E] u8 (4 bases/byte along columns) -> [M, 4E] i8 codes."""
+    M, E = packed.shape
+    parts = [((packed >> s) & jnp.uint8(3)).astype(jnp.int8)
+             for s in (0, 2, 4, 6)]
+    return jnp.stack(parts, axis=2).reshape(M, E * 4)
+
+
+def pack2bit_cols_np(codes: np.ndarray) -> np.ndarray:
+    """[4E, P] int8 codes -> [E, P] u8 (codes > 3 clip to 3: device pads
+    are masked by lens, and N-containing molecules never reach here)."""
+    c = np.minimum(codes, 3).astype(np.uint8)
+    return c[0::4] | (c[1::4] << 2) | (c[2::4] << 4) | (c[3::4] << 6)
+
+
+def pack2bit_rows_np(codes: np.ndarray) -> np.ndarray:
+    """[M, 4E] int8 codes -> [M, E] u8."""
+    c = np.minimum(codes, 3).astype(np.uint8)
+    return (c[:, 0::4] | (c[:, 1::4] << 2) | (c[:, 2::4] << 4)
+            | (c[:, 3::4] << 6))
 
 
 @functools.partial(jax.jit, static_argnames=("Lc",))
-def _prep_bands(centT, clens, readsT, rlens, Lc: int):
-    """(see band_align_pallas; W/QP/PADL derive from Lc)"""
-    """Build the interleaved diagonal substitution bands + lens rows.
+def _prep_bands(cent_p, clens, reads_p, rlens, Lc: int):
+    """Build the interleaved packed diagonal bands + lens rows.
 
-    centT [Lc, P] i8, readsT [Lrp, P] i8 (top-padded by PADL), clens/rlens
-    [P] i32; P a multiple of pp_step(Lc). Returns (subs [Nc, Lc, G, 128] i8,
-    lens [Nc, 2, G, 128] i32) with lane = 4*band + pair_phase."""
-    Lrp, P = readsT.shape
+    cent_p [P, Lc] i8, reads_p [P, Lrp] i8 (top-padded by PADL), clens/
+    rlens [P] i32; P a multiple of pp_step(Lc). Returns
+    (subs [Nc, Lc, G, 128] i8 — bits 2-3 match/mismatch/invalid code,
+    bits 0-1 read char — lens [Nc, 2, G, 128] i32), lane = QP*band+phase."""
+    P, Lrp = reads_p.shape
     W = w_for(Lc)
     W2 = W // 2
     QP = 128 // W
-    PADL = padl_for(W)
     Nc = P // pp_step(Lc)
-    reads_p = jnp.transpose(readsT)                      # [P, Lrp] i8
-    cent_p = jnp.transpose(centT)                        # [P, Lc] i8
     jj = jnp.arange(1, Lc + 1, dtype=jnp.int32)[:, None]  # [Lc, 1]
     bb = jnp.arange(W, dtype=jnp.int32)[None, :]          # [1, W]
     i = jj + bb - W2                                      # [Lc, W]
@@ -401,11 +446,11 @@ def _prep_bands(centT, clens, readsT, rlens, Lc: int):
     rch = jnp.stack([reads_p[:, b + 1:b + 1 + Lc] for b in range(W)],
                     axis=2)                               # [P, Lc, W] i8
     cch = cent_p[:, :, None]
-    sc = jnp.where((cch == rch) & (cch < 4), jnp.int8(MATCH),
-                   jnp.int8(MISMATCH))
+    code = jnp.where(cch == rch, jnp.int8(0), jnp.int8(1))
     valid = (i[None] >= 1) & (i[None] <= rlens[:, None, None])
-    subs = jnp.where(valid, sc, jnp.int8(SUB_INVALID))    # [P, Lc, W] i8
-    # pair p = nc*PP_STEP + g*QP + q  ->  [Nc, Lc, G, lane=4b+q]
+    code = jnp.where(valid, code, jnp.int8(2))
+    subs = (code << 2) | rch                              # [P, Lc, W] i8
+    # pair p = nc*PP_STEP + g*QP + q  ->  [Nc, Lc, G, lane=QP*b+q]
     subs = subs.reshape(Nc, GRP, QP, Lc, W)
     subs = jnp.transpose(subs, (0, 3, 1, 4, 2)).reshape(
         Nc, Lc, GRP, 128)
@@ -417,20 +462,32 @@ def _prep_bands(centT, clens, readsT, rlens, Lc: int):
 
 
 @functools.partial(jax.jit, static_argnames=("Lc", "interpret"))
-def band_align_pallas(centT: jax.Array, clens: jax.Array, readsT: jax.Array,
-                      rlens: jax.Array, Lc: int, interpret: bool = False):
-    """Align P (center, read) pairs; P a multiple of pp_step(Lc).
+def band_align_pallas(reads2b: jax.Array, rlens: jax.Array,
+                      mids: jax.Array, cmol2b: jax.Array, clm: jax.Array,
+                      Lc: int, interpret: bool = False):
+    """Align P (center, read) pairs from the 2-bit DEDUPLICATED uploads.
 
-    Pair-on-lane layout: centT [Lc, P] i8; clens/rlens [P] i32; readsT
-    [Lrp, P] i8 where readsT[PADL:, p] holds pair p's read
-    (Lrp >= padl_for(W) + Lc + W). Returns (aligned [P, Lc+1] i32 — 0..3
-    base / 4 deletion / 5 none — ins [P, (Lc+1)*K_INS] i32,
-    feasible [P] i32)."""
-    P = centT.shape[1]
+    reads2b [Lrp//4, P] u8 — pair p's read 2-bit packed text-major,
+    starting at unpacked row PADL (Lrp >= padl_for(W) + Lc + W, mult of
+    128); rlens [P] i32; mids [P] i32 nondecreasing molecule ids < M2;
+    cmol2b [M2, Lc//4] u8 2-bit packed per-MOLECULE centers; clm [M2]
+    i32. Each pair's center is gathered on device from its molecule row —
+    the round-4 engine uploaded the center once PER PAIR plus once per
+    molecule in byte codes, 10x the bytes over a ~10 MB/s tunnel.
+    Returns (aligned [P, Lc+1] i8 — 0..3 read base on diag / 4 deletion /
+    5 none — ins_votes [P, Lc+1, K_INS, 4] i8 with row j = insertions
+    before center pos j, feasible [P] i32, cmol [M2, Lc] i8 unpacked)."""
+    E, P = reads2b.shape
     W = w_for(Lc)
     QP = 128 // W
-    assert P % pp_step(Lc) == 0 and Lc % ALN == 0
-    subs, lens = _prep_bands(centT, clens, readsT, rlens, Lc)
+    R = Lc // W
+    assert P % pp_step(Lc) == 0 and Lc % ALN == 0 and Lc % W == 0
+    reads_tm = unpack2bit_cols(reads2b)                  # [Lrp, P] i8
+    reads_p = jnp.transpose(reads_tm)                    # [P, Lrp] i8
+    cmol = unpack2bit_rows(cmol2b)                       # [M2, Lc] i8
+    cent_p = jnp.take(cmol, mids, axis=0)                # [P, Lc] i8
+    clens = jnp.take(clm, mids)
+    subs, lens = _prep_bands(cent_p, clens, reads_p, rlens, Lc)
     kernel = functools.partial(_band_align_kernel, Lc=Lc, W=W)
 
     def one_block(args):
@@ -441,8 +498,8 @@ def band_align_pallas(centT: jax.Array, clens: jax.Array, readsT: jax.Array,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
             out_shape=[
-                jax.ShapeDtypeStruct((Lc + ALN, GRP, 128), jnp.int32),
-                jax.ShapeDtypeStruct((1, GRP, 128), jnp.int32),
+                jax.ShapeDtypeStruct((R, GRP, 128), jnp.int32),
+                jax.ShapeDtypeStruct((2, GRP, 128), jnp.int32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((Lc + 1, GRP, 128), jnp.int32),
@@ -456,82 +513,72 @@ def band_align_pallas(centT: jax.Array, clens: jax.Array, readsT: jax.Array,
         )(sb, ln)
 
     tb4, feas4 = jax.lax.map(one_block, (subs, lens))
-    # records are replicated across each pair's lanes; lane QP*b+q with
-    # b=0 is pair phase q — slice the first QP lanes of each group
-    tb = tb4[:, :Lc + 1, :, :QP].reshape(-1, Lc + 1, pp_step(Lc))
-    tb = jnp.transpose(tb, (1, 0, 2)).reshape(Lc + 1, P)
-    feas = feas4[:, 0, :, :QP].reshape(-1, pp_step(Lc)).reshape(1, P)
-    return extract_alignments(jnp.transpose(tb), feas[0],
-                              jnp.transpose(readsT), Lc, W)
+    Nc = P // pp_step(Lc)
+    # lane with band b of row r holds column j = r*W + b + 1, pair phase q
+    t = tb4.reshape(Nc, R, GRP, W, QP)
+    tb_cols = jnp.transpose(t, (0, 2, 4, 1, 3)).reshape(P, Lc)
+    drain = feas4[:, 1, :, :QP].reshape(P, 1)            # band-0 lanes
+    feasible = feas4[:, 0, :, :QP].reshape(P)
+    tb = jnp.concatenate([tb_cols, drain], axis=1)       # [P, Lc+1]
+    aligned, ins_votes = extract_alignments(tb, reads_p, Lc, W)
+    return aligned, ins_votes, feasible, cmol
 
 
 @functools.partial(jax.jit, static_argnames=("Lc", "W"))
-def extract_alignments(tb: jax.Array, feasible: jax.Array,
-                       reads_p: jax.Array, Lc: int, W: int):
-    """Unpack the kernel's per-column walk records into aligned codes +
-    per-pair insertion vote tensors (all-column-parallel XLA gathers).
+def extract_alignments(tb: jax.Array, reads_p: jax.Array, Lc: int, W: int):
+    """Unpack the kernel's walk records into aligned codes + insertion
+    votes — NO gathers: the aligned base rides in the record and the
+    insertion-run chars resolve through W static sliding slices of the
+    reads (round-4's take_along_axis formulation was ~1.0 s of the 2.0 s
+    device floor at [4096, 1025]; this is ~60 ms).
 
-    tb [P, Lc+1] i32 packed bstop | be<<8 | diag<<16 | vert<<17 |
-    active<<18; slot t < Lc records column j = t+1, slot Lc records the
-    j = 0 insertion drain. Returns (aligned [P, Lc+1] i32 — read base
-    code on diag, 4 on vert (deletion), 5 otherwise — ins_votes
-    [P, Lc+1, K_INS, 4] i8 with row j = insertions before center pos j,
-    feasible). A horizontal run longer than K_INS piles every excess
+    tb [P, Lc+1] i32 packed bstop | be<<6 | diag<<12 | vert<<13 |
+    active<<14 | char<<15; slot t < Lc records column j = t+1, slot Lc
+    the j = 0 insertion drain. Returns (aligned [P, Lc+1] i8,
+    ins_votes [P, Lc+1, K_INS, 4] i8 with row j = insertions before
+    center pos j). A horizontal run longer than K_INS piles every excess
     char's vote into the last offset slot, exactly like the jnp
     reference's `o = min(run, K_INS-1)` accumulation (the round-3
     single-char truncation diverged there — caught by the
     test_pallas_parity_* suite, ADVICE r4)."""
     P, Lc1 = tb.shape
-    bstop = tb & 0xFF
-    be = (tb >> 8) & 0xFF
-    diag = (tb >> 16) & 1
-    vert = (tb >> 17) & 1
-    active = (tb >> 18) & 1
+    bstop = tb & 63
+    be = (tb >> 6) & 63
+    diag = (tb >> 12) & 1
+    vert = (tb >> 13) & 1
+    active = (tb >> 14) & 1
+    ch = (tb >> 15) & 3
     slot = jnp.arange(Lc1, dtype=jnp.int32)[None, :]
-    jcol = jnp.where(slot < Lc, slot + 1, 0)     # column of each record
-    rp = reads_p.astype(jnp.int32)
-
-    def rchar(lane):
-        """Read char consumed at cell (j, lane): padded index j + lane."""
-        idx = jnp.clip(jcol + lane, 0, rp.shape[1] - 1)
-        return jnp.take_along_axis(rp, idx, axis=1)
-
-    rb_stop = rchar(bstop)
-    emitted = jnp.where(diag > 0, jnp.clip(rb_stop, 0, 3),
-                        jnp.where(vert > 0, 4, 5))
+    emitted = jnp.where(diag > 0, ch, jnp.where(vert > 0, 4, 5))
     # slot t's record describes the move INTO column t's base slot; the
     # drain slot emits no base
-    aligned = jnp.where(slot < Lc, emitted, 5)
-    run_len = be - bstop                          # chars at lanes be..bstop+1
-    ch4 = jnp.arange(4, dtype=jnp.int32)
-    # offset o counts from the run END (right-justified trace order); the
-    # first K_INS-1 offsets are single-char gathers, and EVERY excess char
-    # (o >= K_INS-1, lanes bstop+1 .. be-(K_INS-1)) piles into the last
-    # slot — computed as a per-base prefix-sum range difference instead of
-    # a W-iteration gather loop (which cost ~2.6x the whole engine).
-    acc = []
-    for o in range(K_INS - 1):
-        rb_o = jnp.clip(rchar(be - o), 0, 3)
-        has = (active > 0) & (o < run_len)
-        acc.append(((rb_o[..., None] == ch4)
-                    & has[..., None]).astype(jnp.int8))
-    ps = jnp.cumsum((rp[:, :, None] == ch4).astype(jnp.int32), axis=1)
+    aligned = jnp.where(slot < Lc, emitted, 5).astype(jnp.int8)
 
-    def ps_at(lane):
-        idx = jnp.clip(jcol + lane, 0, rp.shape[1] - 1)
-        return jnp.take_along_axis(
-            ps, jnp.broadcast_to(idx[..., None], idx.shape + (4,)), axis=1)
-
-    hi = ps_at(be - (K_INS - 1))
-    lo = ps_at(bstop)
-    lastv = jnp.where(((active > 0) & (run_len >= K_INS))[..., None],
-                      hi - lo, 0).astype(jnp.int8)
-    acc.append(lastv)
-    ins_by_slot = jnp.stack(acc, axis=2)          # [P, Lc+1, K, 4]
+    # insertion votes: the run consumed read chars at band lanes
+    # (bstop, be], read index j + lane; offset o counts from the run END
+    # (right-justified trace order), o >= K_INS-1 piles into the last slot
+    K = K_INS
+    am, bem, bsm = active > 0, be, bstop
+    acc = [[jnp.zeros((P, Lc1), jnp.int8) for _ in range(4)]
+           for _ in range(K)]
+    for b in range(1, W):
+        # main slots t < Lc read index (t+1)+b; drain slot index b
+        rc = jnp.concatenate(
+            [reads_p[:, 1 + b:1 + b + Lc], reads_p[:, b:b + 1]], axis=1)
+        in_run = am & (bsm < b)
+        for c in range(4):
+            eq = (rc == c) & in_run
+            for o in range(K - 1):
+                acc[o][c] = acc[o][c] + (eq & (bem - o == b)).astype(
+                    jnp.int8)
+            acc[K - 1][c] = acc[K - 1][c] + (
+                eq & (b <= bem - (K - 1))).astype(jnp.int8)
+    ins_by_slot = jnp.stack(
+        [jnp.stack(a, axis=-1) for a in acc], axis=2)     # [P, Lc+1, K, 4]
     # reorder to insertion rows: row 0 = drain (slot Lc), row j = slot j-1
     ins_votes = jnp.concatenate([ins_by_slot[:, Lc:], ins_by_slot[:, :Lc]],
                                 axis=1)
-    return aligned, ins_votes, feasible
+    return aligned, ins_votes
 
 
 @functools.partial(jax.jit, static_argnames=("M", "maxps", "out_cols"))
@@ -602,14 +649,18 @@ def votes_assemble(aligned, ins, feasible, mids, centers_mol, clen_mol,
     keep = jnp.concatenate([ins_keep, base_keep], axis=2).reshape(M, -1)
 
     q = qv_of(win.astype(jnp.float32), keep)
-    val = ((q.astype(jnp.uint8) << 2)
-           | jnp.minimum(code, 3).astype(jnp.uint8))
+    val = ((q.astype(jnp.int32) << 2) | jnp.minimum(code, 3))
     out_idx = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
     out_len = out_idx[:, -1] + 1
-    rows = jnp.broadcast_to(jnp.arange(M)[:, None], out_idx.shape)
-    packed = jnp.zeros((M, out_cols), jnp.uint8)
-    packed = packed.at[rows, jnp.clip(out_idx, 0, out_cols - 1)].max(
-        jnp.where(keep, val, 0))
+    # stream compaction WITHOUT scatter: per-row sort of (target_idx<<8 |
+    # value) with dropped slots keyed past every kept one — kept slots'
+    # out_idx is strictly increasing, so the sorted prefix IS the
+    # compacted stream. (The round-4 .at[].max scatter over [M, S] was
+    # ~0.7 s on TPU; this sort is ~30 ms at [1024, 5125].)
+    S = keep.shape[1]
+    pk = jnp.where(keep, (out_idx << 8) | val, (S << 8) | 0xFF)
+    srt = jax.lax.sort(pk, dimension=1)[:, :out_cols]
+    packed = jnp.where((srt >> 8) < S, srt & 0xFF, 0).astype(jnp.uint8)
     overflow = out_len > out_cols
     return packed, out_len, pc, overflow
 
@@ -689,6 +740,9 @@ class BatchedConsensusEngine:
 
     def _one_pass(self, molecules, minps, maxps, centers_map):
         results: list = [None] * len(molecules)
+        # maxps > 63 cannot pack into the 6 qv bits of the compacted
+        # consensus byte (ADVICE r3) — serve those from the jnp engine
+        pallas = self._on_tpu and self.mesh is None and maxps <= 63
         # bucket multi-read molecules by center length
         buckets: dict[int, list[int]] = defaultdict(list)
         for mi, seqs in enumerate(molecules):
@@ -699,13 +753,16 @@ class BatchedConsensusEngine:
             else:
                 c = (len(centers_map[mi]) if centers_map is not None
                      else max(len(s) for s in seqs))
-                if c > self.max_center_len:
+                if c > self.max_center_len or (
+                        pallas and any(s.translate(None, _ACGT) for s in
+                                       seqs)):
+                    # 2-bit device uploads cannot carry N/ambiguity codes;
+                    # N-containing molecules (rare in ONT basecalls) take
+                    # the host engine — same algorithm, N never matches
                     results[mi] = poa.consensus_reads(seqs, minps, maxps)
                 else:
                     buckets[max(256, 1 << (c - 1).bit_length())].append(mi)
-        # maxps > 63 cannot pack into the 6 qv bits of the compacted
-        # consensus byte (ADVICE r3) — serve those from the jnp engine
-        if self._on_tpu and self.mesh is None and maxps <= 63:
+        if pallas:
             self._run_pallas(molecules, buckets, results, minps, maxps,
                              centers_map)
         else:
@@ -782,6 +839,18 @@ class BatchedConsensusEngine:
                 results[mi] = self._assemble(
                     cseq, cv[m_local], iv[m_local], int(pc[m_local]), maxps)
 
+    @staticmethod
+    def _grid(n: int, step: int = 1) -> int:
+        """Smallest {1, 1.5} x pow2 multiple of `step` >= n — a finer
+        padded-size grid than pow2 (worst-case 1.5x vs 2x row waste) at
+        ~1.6x the compiled-shape count, all AOT-cached."""
+        k = step
+        while k < n:
+            if k * 3 // 2 >= n and (k * 3 // 2) % step == 0:
+                return k * 3 // 2
+            k *= 2
+        return k
+
     def _bucket_fn(self, Lc: int, Pp: int, n2: int, maxps: int,
                    out_cols: int):
         """Fused align+assemble for one bucket shape, AOT-export-cached.
@@ -795,19 +864,35 @@ class BatchedConsensusEngine:
         fn = self._steps.get(key)
         if fn is None:
             interp = self._interp
+            W = w_for(Lc)
+            E = ((padl_for(W) + Lc + W + 127) // 128) * 128 // 4
 
-            def fused(cT, cl, rT, rl, mids, cmol, clm):
-                aligned, ins, feas = band_align_pallas(
-                    cT, cl, rT, rl, Lc, interpret=interp)
+            def fused(blob):
+                # ONE coalesced upload per bucket (the tunnel pays a
+                # per-transfer RPC round trip; five arrays cost five)
+                o1 = E * Pp
+                o2 = o1 + 4 * Pp
+                o3 = o2 + 4 * Pp
+                o4 = o3 + n2 * (Lc // 4)
+                reads2b = blob[:o1].reshape(E, Pp)
+                rl = jax.lax.bitcast_convert_type(
+                    blob[o1:o2].reshape(Pp, 4), jnp.int32)
+                mids = jax.lax.bitcast_convert_type(
+                    blob[o2:o3].reshape(Pp, 4), jnp.int32)
+                cmol2b = blob[o3:o4].reshape(n2, Lc // 4)
+                clm = jax.lax.bitcast_convert_type(
+                    blob[o4:].reshape(n2, 4), jnp.int32)
+                aligned, ins, feas, cmol = band_align_pallas(
+                    reads2b, rl, mids, cmol2b, clm, Lc, interpret=interp)
                 packed, out_len, pc, overflow = votes_assemble(
-                    aligned, ins, feas, mids, cmol, clm, Pp, maxps,
+                    aligned, ins, feas, mids, cmol, clm, n2, maxps,
                     out_cols)
-                ol = out_len[:n2, None].astype(jnp.uint32)
+                ol = out_len[:, None].astype(jnp.uint32)
                 lb = jnp.concatenate(
                     [((ol >> s) & 0xFF).astype(jnp.uint8)
                      for s in (0, 8, 16, 24)], axis=1)
-                ov = overflow[:n2, None].astype(jnp.uint8)
-                return jnp.concatenate([packed[:n2], lb, ov], axis=1)
+                ov = overflow[:, None].astype(jnp.uint8)
+                return jnp.concatenate([packed, lb, ov], axis=1)
 
             if not interp:
                 from sicelore_tpu.utils import aotcache
@@ -821,8 +906,12 @@ class BatchedConsensusEngine:
 
     def _run_pallas(self, molecules, buckets, results, minps, maxps,
                     centers_map=None):
-        """TPU path: Pallas band-align + on-device assembly; downloads only
-        the compacted per-molecule consensus bytes."""
+        """TPU path: Pallas band-align + on-device assembly. Uploads are
+        2-bit packed and deduplicated (centers once per MOLECULE, gathered
+        to pairs on device) — the round-4 byte-dense pair-replicated
+        upload was 14.9 MB/2000 molecules over a ~10 MB/s tunnel, ~1.1 s
+        of the 3.4 s wall; this ships ~1.5 MB. Downloads only the
+        compacted per-molecule consensus bytes."""
         pending = []
         for Lc, idxs in buckets.items():
             W = w_for(Lc)
@@ -836,36 +925,30 @@ class BatchedConsensusEngine:
                                                       maxps)
                 continue
             P = len(centers)
-            # Pp must cover both the pair rows and the molecule rows (the
-            # centers_mol/segment arrays share the same padded size so the
-            # compiled-shape key stays (Lc, Pp))
-            Pp = max(pp_step(Lc),
-                     1 << (max(P, len(info) + 1) - 1).bit_length())
+            Pp = self._grid(P, pp_step(Lc))
+            n = len(info)
+            n2 = self._grid(max(8, n + 1))
             Lr = Lc + W
             Lrp = ((PADL + Lr + 127) // 128) * 128
             # pair-on-lane layout (see band_align_pallas)
-            cT = np.full((Lc, Pp), dna.PAD, np.int8)
-            rT = np.full((Lrp, Pp), dna.PAD, np.int8)
-            cl = np.zeros(Pp, np.int32)
+            rT = np.full((Lrp, Pp), 3, np.int8)
             rl = np.zeros(Pp, np.int32)
-            mids = np.full(Pp, len(info), np.int32)  # overflow segment
-            cmol = np.full((Pp, Lc), dna.PAD, np.int8)
-            clm = np.zeros(Pp, np.int32)
+            mids = np.full(Pp, n, np.int32)  # overflow segment
+            cmol = np.zeros((n2, Lc), np.int8)
+            clm = np.zeros(n2, np.int32)
             for m_local, (mi, cseq, R) in enumerate(info):
                 cmol[m_local, :len(cseq)] = dna.encode(cseq)
                 clm[m_local] = len(cseq)
             for p in range(P):
-                cT[:clens[p], p] = dna.encode(centers[p])
                 rT[PADL:PADL + rlens[p], p] = dna.encode(reads[p])
-                cl[p], rl[p], mids[p] = clens[p], rlens[p], mol_ids[p]
+                rl[p], mids[p] = rlens[p], mol_ids[p]
             out_cols = Lc + Lc // 8 + 16
-            n = len(info)
-            n2 = max(8, 1 << (n - 1).bit_length())
             fused = self._bucket_fn(Lc, Pp, n2, maxps, out_cols)
-            merged = fused(
-                jnp.asarray(cT), jnp.asarray(cl), jnp.asarray(rT),
-                jnp.asarray(rl), jnp.asarray(mids), jnp.asarray(cmol),
-                jnp.asarray(clm))
+            blob = np.concatenate([
+                pack2bit_cols_np(rT).ravel(), rl.view(np.uint8),
+                mids.view(np.uint8), pack2bit_rows_np(cmol).ravel(),
+                clm.view(np.uint8)])
+            merged = fused(jnp.asarray(blob))
             try:  # overlap the d2h transfers across buckets
                 merged.copy_to_host_async()
             except Exception:
