@@ -216,7 +216,16 @@ def consensus_votes(center: jax.Array, clens: jax.Array, reads: jax.Array,
 ALN = 16        # columns unrolled per loop iteration (a fori_loop
                 # iteration costs ~1.3 us of fixed overhead on this
                 # target) and the traceback record store batch
-GRP = 8         # sublane groups per tile
+GRP = 8         # sublane groups per tile (Lc = 2048 fallback)
+
+
+def g_for(Lc: int) -> int:
+    """Sublane groups per kernel block: 16 halves the block count and
+    amortizes per-op issue overhead (the kernel is issue/latency bound —
+    ~480 cycles/column for ~60 [G,128] ops, tools/profile_consensus_
+    device.py) but the F scratch is (Lc+1)*G*512 B, so Lc = 2048 keeps
+    G = 8 to fit the 16 MB VMEM."""
+    return 16 if Lc <= 1024 else GRP
 
 
 
@@ -235,8 +244,8 @@ def padl_for(W: int) -> int:
 
 
 def pp_step(Lc: int) -> int:
-    """Pairs per lax.map step: (128 // W) lane phases * GRP groups."""
-    return (128 // w_for(Lc)) * GRP
+    """Pairs per lax.map step: (128 // W) lane phases * g_for groups."""
+    return (128 // w_for(Lc)) * g_for(Lc)
 
 
 def _band_align_kernel(subs_ref, lens_ref, tb_ref, feas_ref, F, *,
@@ -253,7 +262,7 @@ def _band_align_kernel(subs_ref, lens_ref, tb_ref, feas_ref, F, *,
     """
     W2 = W // 2
     QP = 128 // W
-    G = GRP
+    G = g_for(Lc)
     g = jnp.int32(GAP)
     neg = jnp.int32(NEG)
     zero = jnp.zeros((G, 128), jnp.int32)
@@ -291,13 +300,6 @@ def _band_align_kernel(subs_ref, lens_ref, tb_ref, feas_ref, F, *,
             sh *= 2
         return jnp.maximum(f, t + band * g)
 
-    def prefix_or(r):
-        sh = 1
-        while sh < W:
-            r = jnp.maximum(r, shift_band(r, sh, jnp.int32(0)))
-            sh *= 2
-        return r
-
     def decode(j):
         """subs column j: (score [G,128] i32, valid 0/1, char 0..3)."""
         s8 = subs_ref[j - 1].astype(jnp.int32)
@@ -313,12 +315,11 @@ def _band_align_kernel(subs_ref, lens_ref, tb_ref, feas_ref, F, *,
     F0 = valid0 * (i0 * g) + (1 - valid0) * neg
     F[0] = F0
 
-    def fwd_blk(blk, carry):
-        f, r = carry
+    def fwd_blk(blk, f):
         j0 = blk * ALN
         for u in range(ALN):                             # unrolled columns
             j = j0 + (u + 1)
-            sc, valid, _ = decode(j)
+            sc, _, _ = decode(j)
             diag = f + sc
             up = shift_band(f, -1, neg) + g
             fn = jnp.maximum(diag, up)
@@ -327,20 +328,18 @@ def _band_align_kernel(subs_ref, lens_ref, tb_ref, feas_ref, F, *,
             inrange = m(j <= clen)
             f = inrange * fn + (1 - inrange) * f
             F[j] = f
-            # reachability DP: diag needs a valid read char, vert/horiz
-            # are unconditional band moves
-            rn = prefix_or(jnp.maximum(r * valid,
-                                       shift_band(r, -1, jnp.int32(0))))
-            r = inrange * rn + (1 - inrange) * r
-        return f, r
+        return f
 
-    _, rfin = jax.lax.fori_loop(0, Lc // ALN, fwd_blk, (F0, valid0))
+    ffin = jax.lax.fori_loop(0, Lc // ALN, fwd_blk, F0)  # == F[clen] rows
 
-    # ---- feasibility ----
+    # ---- feasibility: the jnp reference's score threshold (any invalid
+    # step costs NEG, unrecoverable; every fully-valid path scores
+    # > -8*(Lc+W) > NEG//2) — a parallel reachability DP measured ~25%
+    # of the forward pass for the same answer ----
     bt = rlen - clen + W2
     btc = jnp.clip(bt, 0, W - 1)
-    reached = ring_max(rfin * m(band == btc))
-    feasible = m(bt >= 0) * m(bt < W) * m(reached > 0)
+    total = ring_max(ffin * m(band == btc) + neg * (1 - m(band == btc)))
+    feasible = m(bt >= 0) * m(bt < W) * m(total > neg // 2)
     feas_ref[0] = feasible
 
     # ---- traceback (j descending); W columns' records accumulate into
@@ -438,6 +437,7 @@ def _prep_bands(cent_p, clens, reads_p, rlens, Lc: int):
     W2 = W // 2
     QP = 128 // W
     Nc = P // pp_step(Lc)
+    G = g_for(Lc)
     jj = jnp.arange(1, Lc + 1, dtype=jnp.int32)[:, None]  # [Lc, 1]
     bb = jnp.arange(W, dtype=jnp.int32)[None, :]          # [1, W]
     i = jj + bb - W2                                      # [Lc, W]
@@ -451,13 +451,13 @@ def _prep_bands(cent_p, clens, reads_p, rlens, Lc: int):
     code = jnp.where(valid, code, jnp.int8(2))
     subs = (code << 2) | rch                              # [P, Lc, W] i8
     # pair p = nc*PP_STEP + g*QP + q  ->  [Nc, Lc, G, lane=QP*b+q]
-    subs = subs.reshape(Nc, GRP, QP, Lc, W)
+    subs = subs.reshape(Nc, G, QP, Lc, W)
     subs = jnp.transpose(subs, (0, 3, 1, 4, 2)).reshape(
-        Nc, Lc, GRP, 128)
+        Nc, Lc, G, 128)
     lens2 = jnp.stack([rlens, clens], axis=0).reshape(
-        2, Nc, GRP, QP)[:, :, :, None, :]                 # [2, Nc, G, 1, Q]
-    lens2 = jnp.broadcast_to(lens2, (2, Nc, GRP, W, QP)).reshape(
-        2, Nc, GRP, 128)
+        2, Nc, G, QP)[:, :, :, None, :]                   # [2, Nc, G, 1, Q]
+    lens2 = jnp.broadcast_to(lens2, (2, Nc, G, W, QP)).reshape(
+        2, Nc, G, 128)
     return subs, jnp.transpose(lens2, (1, 0, 2, 3))
 
 
@@ -498,24 +498,24 @@ def band_align_pallas(reads2b: jax.Array, rlens: jax.Array,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
             out_shape=[
-                jax.ShapeDtypeStruct((R, GRP, 128), jnp.int32),
-                jax.ShapeDtypeStruct((2, GRP, 128), jnp.int32),
+                jax.ShapeDtypeStruct((R, g_for(Lc), 128), jnp.int32),
+                jax.ShapeDtypeStruct((2, g_for(Lc), 128), jnp.int32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((Lc + 1, GRP, 128), jnp.int32),
+                pltpu.VMEM((Lc + 1, g_for(Lc), 128), jnp.int32),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             cost_estimate=pl.CostEstimate(
                 flops=pp_step(Lc) * Lc * W * 12, transcendentals=0,
-                bytes_accessed=Lc * GRP * 128 * 5),
+                bytes_accessed=Lc * g_for(Lc) * 128 * 5),
             interpret=interpret,
         )(sb, ln)
 
     tb4, feas4 = jax.lax.map(one_block, (subs, lens))
     Nc = P // pp_step(Lc)
     # lane with band b of row r holds column j = r*W + b + 1, pair phase q
-    t = tb4.reshape(Nc, R, GRP, W, QP)
+    t = tb4.reshape(Nc, R, g_for(Lc), W, QP)
     tb_cols = jnp.transpose(t, (0, 2, 4, 1, 3)).reshape(P, Lc)
     drain = feas4[:, 1, :, :QP].reshape(P, 1)            # band-0 lanes
     feasible = feas4[:, 0, :, :QP].reshape(P)
