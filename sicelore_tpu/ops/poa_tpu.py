@@ -581,22 +581,16 @@ def extract_alignments(tb: jax.Array, reads_p: jax.Array, Lc: int, W: int):
     return aligned, ins_votes
 
 
-@functools.partial(jax.jit, static_argnames=("M", "maxps", "out_cols"))
-def votes_assemble(aligned, ins, feasible, mids, centers_mol, clen_mol,
-                   M: int, maxps: int, out_cols: int):
-    """Per-pair alignments -> per-molecule consensus, all on device.
+@functools.partial(jax.jit, static_argnames=("M",))
+def segment_votes(aligned, ins, feasible, mids, M: int):
+    """Per-pair alignments -> per-molecule vote tensors (the additive,
+    psum-mergeable half of the assembly — the multi-chip step psums these
+    across the data axis before assemble_votes).
 
-    aligned [P, Lc+1] i32 (0..3 base / 4 del / 5 none), ins_votes
-    [P, Lc+1, K_INS, 4] i8, feasible [P], mids [P] segment ids < M,
-    centers_mol [M', Lc] i8 (rows >= the real molecule count are ignored
-    by the caller), clen_mol [M'] i32 — M' rows are aligned with segment
-    ids. Returns (packed [M, out_cols] u8 — qv<<2 | base — out_len [M],
-    pair_counts [M], overflow [M] bool). Assembly semantics ==
-    BatchedConsensusEngine host _assemble == ConsensusMsa.process.
-    """
-    P, Lc1 = aligned.shape
-    Lc = Lc1 - 1
-    K = K_INS
+    aligned [P, Lc+1] int (0..3 base / 4 del / 5 none), ins
+    [P, Lc+1, K_INS, 4] i8, feasible [P], mids [P] segment ids < M.
+    Returns (cv [M, Lc, 5] i32, iv [M, Lc+1, K_INS, 4] i32, pc [M])."""
+    Lc = aligned.shape[1] - 1
     ch5 = jnp.arange(5, dtype=jnp.int32)
     # (an MXU-matmul segment-sum formulation measured ~30% slower here
     # than XLA's scatter-add — padded segment rows outweigh the MXU win)
@@ -607,6 +601,24 @@ def votes_assemble(aligned, ins, feasible, mids, centers_mol, clen_mol,
                              num_segments=M)                # [M, Lc+1, K, 4]
     pc = jax.ops.segment_sum(feasible.astype(jnp.int32), mids,
                              num_segments=M)
+    return cv, iv, pc
+
+
+@functools.partial(jax.jit, static_argnames=("maxps", "out_cols"))
+def assemble_votes(cv, iv, pc, centers_mol, clen_mol, maxps: int,
+                   out_cols: int):
+    """Per-molecule vote tensors -> compacted consensus bytes, on device.
+
+    cv [M, Lc, 5] i32, iv [M, Lc+1, K_INS, 4] i32, pc [M] (from
+    segment_votes, possibly psum-merged across chips), centers_mol
+    [M, Lc] i8, clen_mol [M] i32. Returns (packed [M, out_cols] u8 —
+    qv<<2 | base — out_len [M], pair_counts [M], overflow [M] bool).
+    Assembly semantics == BatchedConsensusEngine host _assemble ==
+    ConsensusMsa.process (utils/ConsensusMsa.java:51-91)."""
+    M, Lc = cv.shape[:2]
+    Lc1 = Lc + 1
+    K = K_INS
+    ch5 = jnp.arange(5, dtype=jnp.int32)
     R = pc + 1                                              # center votes too
     cols = jnp.arange(Lc, dtype=jnp.int32)
     cmask = cols[None, :] < clen_mol[:, None]               # [M, Lc]
@@ -665,6 +677,15 @@ def votes_assemble(aligned, ins, feasible, mids, centers_mol, clen_mol,
     return packed, out_len, pc, overflow
 
 
+@functools.partial(jax.jit, static_argnames=("M", "maxps", "out_cols"))
+def votes_assemble(aligned, ins, feasible, mids, centers_mol, clen_mol,
+                   M: int, maxps: int, out_cols: int):
+    """segment_votes + assemble_votes in one call (single-chip path)."""
+    cv, iv, pc = segment_votes(aligned, ins, feasible, mids, M)
+    return assemble_votes(cv, iv, pc, centers_mol, clen_mol, maxps,
+                          out_cols)
+
+
 class BatchedConsensusEngine:
     """Bucketed molecule batches -> device alignment + assembly -> strings.
 
@@ -686,6 +707,11 @@ class BatchedConsensusEngine:
         self.mesh = mesh
         self.data_axis = data_axis
         self._gran = int(mesh.shape[data_axis]) if mesh is not None else 1
+        try:
+            self._mesh_tpu = (mesh is not None and
+                              mesh.devices.flat[0].platform == "tpu")
+        except Exception:
+            self._mesh_tpu = False
         self._steps: dict = {}
         # force: "pallas-interpret" runs the production Pallas path in
         # interpret mode off-TPU (parity tests); "jnp" forces the fallback
@@ -741,8 +767,13 @@ class BatchedConsensusEngine:
     def _one_pass(self, molecules, minps, maxps, centers_map):
         results: list = [None] * len(molecules)
         # maxps > 63 cannot pack into the 6 qv bits of the compacted
-        # consensus byte (ADVICE r3) — serve those from the jnp engine
-        pallas = self._on_tpu and self.mesh is None and maxps <= 63
+        # consensus byte (ADVICE r3) — serve those from the jnp engine.
+        # With a mesh, the production sharded Pallas path runs on TPU
+        # meshes (or interpret mode in tests); CPU meshes take the jnp
+        # sharded step (Pallas cannot compile for host CPU)
+        pallas = maxps <= 63 and (
+            self._interp or (self._on_tpu and
+                             (self.mesh is None or self._mesh_tpu)))
         # bucket multi-read molecules by center length
         buckets: dict[int, list[int]] = defaultdict(list)
         for mi, seqs in enumerate(molecules):
@@ -904,6 +935,21 @@ class BatchedConsensusEngine:
             self._steps[key] = fn
         return fn
 
+    def _bucket_fn_sharded(self, Lc, Pp, n2, maxps, out_cols):
+        """Production multi-chip bucket step (pairs sharded over the data
+        axis, votes psum-merged, assembly replicated); interpret mode
+        serves CPU-mesh tests. Results byte-identical to single chip."""
+        key = ("sh", Lc, Pp, n2, maxps, out_cols)
+        fn = self._steps.get(key)
+        if fn is None:
+            from sicelore_tpu.parallel.consensus_step import (
+                make_sharded_bucket_fn)
+            fn = make_sharded_bucket_fn(
+                self.mesh, Lc, Pp, n2, maxps, out_cols, self.data_axis,
+                interpret=self._interp)
+            self._steps[key] = fn
+        return fn
+
     def _run_pallas(self, molecules, buckets, results, minps, maxps,
                     centers_map=None):
         """TPU path: Pallas band-align + on-device assembly. Uploads are
@@ -925,7 +971,7 @@ class BatchedConsensusEngine:
                                                       maxps)
                 continue
             P = len(centers)
-            Pp = self._grid(P, pp_step(Lc))
+            Pp = self._grid(P, pp_step(Lc) * self._gran)
             n = len(info)
             n2 = self._grid(max(8, n + 1))
             Lr = Lc + W
@@ -943,12 +989,19 @@ class BatchedConsensusEngine:
                 rT[PADL:PADL + rlens[p], p] = dna.encode(reads[p])
                 rl[p], mids[p] = rlens[p], mol_ids[p]
             out_cols = Lc + Lc // 8 + 16
-            fused = self._bucket_fn(Lc, Pp, n2, maxps, out_cols)
-            blob = np.concatenate([
-                pack2bit_cols_np(rT).ravel(), rl.view(np.uint8),
-                mids.view(np.uint8), pack2bit_rows_np(cmol).ravel(),
-                clm.view(np.uint8)])
-            merged = fused(jnp.asarray(blob))
+            if self.mesh is not None:
+                fn = self._bucket_fn_sharded(Lc, Pp, n2, maxps, out_cols)
+                merged = fn(jnp.asarray(pack2bit_cols_np(rT)),
+                            jnp.asarray(rl), jnp.asarray(mids),
+                            jnp.asarray(pack2bit_rows_np(cmol)),
+                            jnp.asarray(clm))
+            else:
+                fused = self._bucket_fn(Lc, Pp, n2, maxps, out_cols)
+                blob = np.concatenate([
+                    pack2bit_cols_np(rT).ravel(), rl.view(np.uint8),
+                    mids.view(np.uint8), pack2bit_rows_np(cmol).ravel(),
+                    clm.view(np.uint8)])
+                merged = fused(jnp.asarray(blob))
             try:  # overlap the d2h transfers across buckets
                 merged.copy_to_host_async()
             except Exception:

