@@ -3,12 +3,21 @@
 1. scanfastq device path (headline): fused edge scan (stranding + polyA/
    adapter/TSO geometry) + used-list barcode search — reference Step 1,
    baseline ~20.8k reads/s on a 96-core Promethion tower
-   (/root/reference/README.md:106; BASELINE.md).
+   (/root/reference/README.md:106; BASELINE.md). Measured at BOTH an 8k
+   and a 49k used-barcode list (VERDICT r4 item 4: the sweep is linear in
+   list size; real PromethION runs carry tens of thousands).
 2. consensus: batched banded-DP POA engine (spoa replacement) on a
    WTA-shaped molecule mix — baseline ~167 UMIs/s on 20 cores
    (/root/reference/README.md:1146-1147).
 3. honest end-to-end: fastq dir in -> passed/ fastq out (pass 1 + chimera
    scan + pass 2 + read-name metadata + writes) on >= 100k reads.
+
+Methodology (VERDICT r4 item 4): every timed dispatch carries content not
+dispatched before in this process — the remote tunnel MEMOIZES identical
+executions (NOTES_ROUND5.md), so repeated-content timing measures a
+cache. Throughputs are the MEDIAN of >= 5 samples, each tagged with a
+tunnel-health probe (per-dispatch latency + d2h bandwidth); congested
+samples are visible as such instead of silently averaged.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
@@ -46,21 +55,19 @@ def _setup_cache():
 
 
 def tunnel_health():
-    """Median per-dispatch round-trip of a trivial device op, in ms.
-
-    The remote-TPU tunnel's per-dispatch latency varies from <1 ms to
-    tens of ms between windows (measured swings of 3-5x on identical
-    kernels minutes apart); the headline numbers below carry this probe
-    so a congested run is visible as such."""
+    """(median per-dispatch round-trip ms, d2h MB/s) of trivial device
+    ops. The remote-TPU tunnel's latency and bandwidth swing 3-10x
+    between windows minutes apart; every sample below carries this probe
+    so a congested sample is visible as such."""
     import jax
     import jax.numpy as jnp
     x = jnp.zeros((8, 128), jnp.int32)
     f = jax.jit(lambda a: a + 1)
-    f(x).block_until_ready()
+    np.asarray(f(x))
     ts = []
-    for _ in range(7):
+    for _ in range(5):
         t0 = time.time()
-        f(x).block_until_ready()
+        np.asarray(f(x)[:1, :1])
         ts.append(time.time() - t0)
     lat = sorted(ts)[len(ts) // 2] * 1e3
     big = jax.jit(lambda a: a + 1)(jnp.zeros(2 * 1024 * 1024, jnp.uint8))
@@ -68,7 +75,7 @@ def tunnel_health():
     t0 = time.time()
     np.asarray(big)
     bw = 2.0 / max(time.time() - t0, 1e-6)
-    return lat, bw
+    return round(lat, 2), round(bw, 1)
 
 
 def _make_reads(rng, wl, n, error_rate=0.05, unique=True):
@@ -98,111 +105,155 @@ def _make_reads(rng, wl, n, error_rate=0.05, unique=True):
     return seqs, quals
 
 
-def bench_scan(verbose=False):
-    """Pass-2 hot path: 2-bit mega-batch upload -> lax.map(edge scan +
-    MXU q-gram prefilter + Myers verify) -> packed int16 download,
-    depth-2 pipelined (device works batch i+1 while host emits batch i)."""
+_ACGT4 = (b"A", b"C", b"G", b"T")
+
+
+def _mutate_batch(rng, seqs):
+    """One substituted base per read: distinct content for every timed
+    dispatch (the tunnel memoizes identical executions) at ~zero cost to
+    the workload's statistics."""
+    out = []
+    for s in seqs:
+        p = int(rng.integers(0, len(s)))
+        out.append(s[:p] + _ACGT4[int(rng.integers(0, 4))] + s[p + 1:])
+    return out
+
+
+def bench_scan(n_bc=8192, samples=5, dispatches=2, mode=None,
+               verbose=False):
+    """Pass-2 hot path: 2-bit mega-batch upload -> fused edge scan +
+    used-list barcode search -> packed int16 download, depth-2 pipelined.
+
+    Returns (median reads/s, per-sample [(rps, lat_ms, d2h_mbps)], vpu
+    util). Content varies per dispatch; median of `samples`."""
+    from collections import deque
+
     from sicelore_tpu.models import readscan
     from sicelore_tpu.utils import dna, synth
 
     rng = np.random.default_rng(0)
     B = 32768
-    N_BC = 8192  # used-barcode list size (large experiment)
-    wl = synth.make_whitelist(rng, N_BC)
+    wl = synth.make_whitelist(rng, n_bc)
     seqs, quals = _make_reads(rng, wl, B)
     pats, _ = dna.encode_batch([w.encode() for w in wl], 16)
 
     model = readscan.ReadScanModel()
-    model.prepare_search(pats, N_BC, radius=2)
+    model.prepare_search(pats, n_bc, radius=2, mode=mode)
 
     t0 = time.time()
     h = model.scan_search_async(seqs, quals)
     out, res = model.finish_search(h)
     if verbose:
         import sys
-        print(f"scan compile+first: {time.time() - t0:.1f}s "
+        print(f"scan[{n_bc}] compile+first: {time.time() - t0:.1f}s "
               f"(mode={model._mode})", file=sys.stderr)
     assert float(np.mean(out["stranded"])) > 0.9
     assert float(np.mean(res["ed"] <= 2)) > 0.8
 
-    iters, depth = 10, 2
-    from collections import deque
-    q = deque()
-    t0 = time.time()
-    for _ in range(depth):
-        q.append(model.scan_search_async(seqs, quals))
-    for _ in range(iters - depth):
-        q.append(model.scan_search_async(seqs, quals))
-        model.finish_search(q.popleft())
-    while q:
-        model.finish_search(q.popleft())
-    dt = (time.time() - t0) / iters
+    per_sample = []
+    for s in range(samples):
+        variants = [( _mutate_batch(rng, seqs), quals)
+                    for _ in range(dispatches)]
+        lat, bw = tunnel_health()
+        q = deque()
+        t0 = time.time()
+        for sq, qu in variants:
+            q.append(model.scan_search_async(sq, qu))
+            if len(q) > 2:
+                model.finish_search(q.popleft())
+        while q:
+            model.finish_search(q.popleft())
+        dt = time.time() - t0
+        rps = dispatches * B / dt
+        per_sample.append((round(rps, 1), lat, bw))
+        if verbose:
+            import sys
+            print(f"scan[{n_bc}] sample {s}: {rps:.0f} reads/s "
+                  f"(lat {lat} ms, d2h {bw} MB/s)", file=sys.stderr)
+    med = float(np.median([p[0] for p in per_sample]))
     # utilization vs the VPU roofline: the dominant term is the Myers
     # barcode sweep, ~18 lane-ops per (read, barcode, window char)
-    # (ops/bcsearch.py cost model)
-    sweep_ops = B * N_BC * model.bc_window_width * 18
-    util = sweep_ops / dt / VPU_LANE_OPS_PER_S
-    return B / dt, util
+    sweep_ops = B * n_bc * model.bc_window_width * 18
+    util = sweep_ops / (B / med) / VPU_LANE_OPS_PER_S
+    return med, per_sample, util
 
 
-def bench_consensus(verbose=False):
+def bench_consensus(samples=5, M=2000, verbose=False):
     """WTA-shaped molecule mix (README.md:1146: ~50% molecules multi-read):
     50% 1-read, 20% 2-read, 30% 3..12-read molecules, 400-900 nt cDNA at
-    3% error. Measures molecules/s through the batched device engine."""
+    3% error. Distinct molecule sets per timed call; median of `samples`.
+    Returns (median UMIs/s, per-sample [(umis_s, lat, bw)], vpu util)."""
     from sicelore_tpu.ops.poa_tpu import BatchedConsensusEngine
     from sicelore_tpu.utils import synth
 
-    rng = np.random.default_rng(1)
-    M = 2000
-    molecules = []
-    for i in range(M):
-        u = rng.random()
-        n_reads = (1 if u < 0.5 else
-                   2 if u < 0.7 else int(rng.integers(3, 13)))
-        true = synth.random_seq(rng, int(rng.integers(400, 900)))
-        molecules.append([synth.mutate(rng, true, 0.03).encode()
-                          for _ in range(n_reads)])
+    def make_set(seed):
+        rng = np.random.default_rng(seed)
+        molecules = []
+        for i in range(M):
+            u = rng.random()
+            n_reads = (1 if u < 0.5 else
+                       2 if u < 0.7 else int(rng.integers(3, 13)))
+            true = synth.random_seq(rng, int(rng.integers(400, 900)))
+            molecules.append([synth.mutate(rng, true, 0.03).encode()
+                              for _ in range(n_reads)])
+        return molecules
+
     engine = BatchedConsensusEngine()
     t0 = time.time()
-    engine(molecules)  # compile + first pass over every bucket shape
+    # warm on TWO distinct sets: covers the (Pp, n2) shape grid the timed
+    # sets will hit, so timed samples measure execution, not artifact
+    # loads (one-time per process)
+    engine(make_set(1))
+    engine(make_set(2))
     if verbose:
         import sys
         print(f"consensus compile+first: {time.time() - t0:.1f}s",
               file=sys.stderr)
-    t0 = time.time()
-    res = engine(molecules)
-    dt = time.time() - t0
-    assert len(res) == M and all(r[0] for r in res)
+    per_sample = []
+    pairs_ref = None
+    for s in range(samples):
+        mols = make_set(100 + s)
+        if pairs_ref is None:
+            pairs_ref = sum(len(m) - 1 for m in mols if len(m) > 2)
+        lat, bw = tunnel_health()
+        t0 = time.time()
+        res = engine(mols)
+        dt = time.time() - t0
+        assert len(res) == M and all(r[0] for r in res)
+        per_sample.append((round(M / dt, 1), lat, bw))
+        if verbose:
+            import sys
+            print(f"consensus sample {s}: {M / dt:.0f} UMIs/s "
+                  f"(lat {lat} ms, d2h {bw} MB/s)", file=sys.stderr)
+    med = float(np.median([p[0] for p in per_sample]))
     # banded-DP utilization: ~30 lane-ops per band cell, fwd + traceback
-    pairs = sum(len(m) - 1 for m in molecules if len(m) > 2)
-    cells = pairs * 700 * 48 * 2        # avg center x avg band
-    util = cells * 30 / dt / VPU_LANE_OPS_PER_S
-    return M / dt, util
+    cells = pairs_ref * 700 * 48 * 2        # avg center x avg band
+    util = cells * 30 / (M / med) / VPU_LANE_OPS_PER_S
+    return med, per_sample, util
 
 
-def bench_e2e(verbose=False, n_reads=102_400):
+def bench_e2e(verbose=False, n_reads=102_400, warm_runs=3):
     """Honest end-to-end: synthetic fastq dir -> ScanFastqPipeline.run
     (pass 1, used-list build, chimera scan, pass 2, fastq/stats writes).
 
     The workload is deliberately messy (VERDICT r2 item 8): ~6% of reads
     are length-skewed long reads (2-8 kb cDNA), ~2% chimeric fusions and
-    ~2% random garbage, so the internal chimera scan and the failed-read
-    path stay visible in the headline.
+    ~2% random garbage. Each timed run gets ITS OWN fastq dir with
+    mutated content (no dispatch repeats content); warm = median of
+    `warm_runs`. Cold = fresh subprocess against the populated persistent
+    compile + AOT caches — the honest deployment cold start.
 
-    Returns (warm_rps, cold_rps): the cold run pays every XLA compile
-    (one-time per deployment — the remote-TPU compile service costs
-    minutes); the warm run shares the ReadScanModel, so its cached jitted
-    closures serve a second pipeline at zero compiles — the steady-state
-    throughput a production run (100M reads, README.md:106) amortizes to."""
+    Returns (warm_median_rps, per_run, cold_rps)."""
     import shutil
+    import subprocess
+    import sys as _sys
     import tempfile
     from pathlib import Path
 
     from sicelore_tpu.models import readscan
     from sicelore_tpu.pipeline.scanfastq import ScanFastqPipeline
-    from sicelore_tpu.utils import synth
-
     from sicelore_tpu.utils import synth as _sy
+    from sicelore_tpu.utils import synth
 
     rng = np.random.default_rng(2)
     N_BC = 384  # cells in the library (pass 1 discovers them)
@@ -223,7 +274,7 @@ def bench_e2e(verbose=False, n_reads=102_400):
         elif u == 2 and i % 48 == 32:   # garbage
             r = {"seq": _sy.random_seq(rng,
                                        int(rng.integers(60, 900))).encode(),
-                 "qual": b"#" * 0}
+                 "qual": b""}
             r["qual"] = bytes([33 + int(x) for x in
                                rng.integers(2, 30, len(r["seq"]))])
         else:
@@ -231,41 +282,48 @@ def bench_e2e(verbose=False, n_reads=102_400):
         seqs[i], quals[i] = r["seq"], r["qual"]
 
     tmp = Path(tempfile.mkdtemp(prefix="bench_e2e_"))
-    try:
-        fq_dir = tmp / "fastq"
-        fq_dir.mkdir()
+
+    def write_dir(name, sq):
+        d = tmp / name
+        d.mkdir()
         per_file = n_reads // 4
         k = 0
         for f in range(4):
-            with open(fq_dir / f"part{f}.fastq", "wb") as fh:
+            with open(d / f"part{f}.fastq", "wb") as fh:
                 for i in range(per_file):
-                    fh.write(b"@read%d\n" % k + seqs[k] + b"\n+\n"
+                    fh.write(b"@read%d\n" % k + sq[k] + b"\n+\n"
                              + quals[k] + b"\n")
                     k += 1
+        return d, k
+
+    try:
+        dirs = [write_dir("fq0", seqs)]
+        for v in range(1, warm_runs + 2):
+            dirs.append(write_dir(f"fq{v}", _mutate_batch(rng, seqs)))
         model = readscan.ReadScanModel()
-        times = []
-        for run in range(3):   # run0 warms; warm rps = best of two (the
-            # tunnel's d2h swings 0.4-27 MB/s between windows)
+        # run 0 warms every executable; runs 1..warm_runs are timed, each
+        # on its own mutated dataset
+        per_run = []
+        k = n_reads
+        for run in range(warm_runs + 1):
+            fq_dir, k = dirs[run], n_reads
+            lat, bw = tunnel_health() if run else (0.0, 0.0)
             pipe = ScanFastqPipeline(whitelist=wl, chunk_size=32768,
                                      model=model)
             t0 = time.time()
-            stats = pipe.run([fq_dir], tmp / f"out{run}")
-            times.append(time.time() - t0)
+            stats = pipe.run([fq_dir[0]], tmp / f"out{run}")
+            dt = time.time() - t0
+            if run:
+                per_run.append((round(k / dt, 1), lat, bw))
             if verbose:
-                import sys
-                print(f"e2e {'run0' if run == 0 else 'warm'}: "
-                      f"{k / times[-1]:.0f} reads/s ({times[-1]:.1f}s)",
-                      file=sys.stderr)
+                print(f"e2e {'warmup' if run == 0 else 'run'}: "
+                      f"{k / dt:.0f} reads/s ({dt:.1f}s)", file=_sys.stderr)
             assert stats.bc_assigned > 0.8 * k, stats.to_json()
-        times[1] = min(times[1], times[2])
-        # cold = FRESH SUBPROCESS against the now-populated persistent
-        # compile + AOT export caches: the honest deployment cold start
-        # (python+jax startup, artifact loads, executable loads) that
-        # in-process warm-up cannot flatter (VERDICT r3 item 2)
-        import subprocess
-        import sys as _sys
+        warm_med = float(np.median([p[0] for p in per_run]))
+        # cold = FRESH SUBPROCESS on the last (never-dispatched) dataset
         wl_file = tmp / "wl.txt"
         wl_file.write_text("\n".join(wl))
+        cold_dir = dirs[-1][0]
         script = (
             "import time,sys,json\n"
             "sys.path.insert(0, %r)\n"
@@ -278,7 +336,7 @@ def bench_e2e(verbose=False, n_reads=102_400):
             "print(json.dumps({'dt': time.time()-t0,"
             "'assigned': s.bc_assigned}))\n"
             % (str(Path(__file__).resolve().parent), str(wl_file),
-               str(fq_dir), str(tmp / "out_cold")))
+               str(cold_dir), str(tmp / "out_cold")))
         r = subprocess.run([_sys.executable, "-c", script],
                            capture_output=True, text=True, timeout=1800)
         cold_rps = 0.0
@@ -291,49 +349,41 @@ def bench_e2e(verbose=False, n_reads=102_400):
             except (json.JSONDecodeError, KeyError):
                 continue
         if verbose and cold_rps:
-            import sys
             print(f"e2e cold (fresh subprocess): {cold_rps:.0f} reads/s",
-                  file=sys.stderr)
-        return k / times[1], cold_rps
+                  file=_sys.stderr)
+        return warm_med, per_run, cold_rps
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main(verbose: bool = False):
     _setup_cache()
-    health0 = tunnel_health()
-    # best of 2: the remote tunnel's per-dispatch latency and d2h
-    # bandwidth swing 3-10x between windows; a single congested sample
-    # measures the tunnel, not the kernels (both samples stay warm, and
-    # the health probes below record the conditions)
-    scan_rps, sweep_util = max(
-        (bench_scan(verbose) for _ in range(2)), key=lambda t: t[0])
-    umis_ps, cons_util = max(
-        (bench_consensus(verbose) for _ in range(2)), key=lambda t: t[0])
-    e2e_rps, e2e_cold = bench_e2e(verbose)
-    health1 = tunnel_health()
+    scan_rps, scan_samples, sweep_util = bench_scan(
+        n_bc=8192, verbose=verbose)
+    scan50_rps, scan50_samples, _ = bench_scan(
+        n_bc=49152, samples=3, verbose=verbose)
+    umis_ps, cons_samples, cons_util = bench_consensus(verbose=verbose)
+    e2e_rps, e2e_runs, e2e_cold = bench_e2e(verbose)
     print(json.dumps({
         "metric": "scanfastq_reads_per_s_per_chip",
         "value": round(scan_rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(scan_rps / BASELINE_READS_PER_S, 2),
         "extra": {
+            "scan_samples": scan_samples,
+            "scan_50k_bc_reads_per_s": round(scan50_rps, 1),
+            "scan_50k_samples": scan50_samples,
             "consensus_umis_per_s": round(umis_ps, 1),
             "consensus_vs_baseline": round(umis_ps / BASELINE_UMIS_PER_S, 2),
+            "consensus_samples": cons_samples,
             "e2e_scanfastq_reads_per_s": round(e2e_rps, 1),
             "e2e_vs_baseline": round(e2e_rps / BASELINE_READS_PER_S, 2),
+            "e2e_samples": e2e_runs,
             "e2e_cold_incl_compiles_reads_per_s": round(e2e_cold, 1),
             # achieved fraction of the VPU lane-op roofline (the hot
             # kernels are integer-bound; MXU FLOPs are the wrong axis)
             "bc_sweep_vpu_util": round(sweep_util, 4),
             "consensus_dp_vpu_util": round(cons_util, 4),
-            # remote-tunnel health before/after: per-dispatch latency (ms)
-            # and d2h bandwidth (MB/s) — runs with elevated latency or
-            # depressed bandwidth are congestion-bound, not kernel-bound
-            # (measured swings: 0.3-30 ms dispatch, 0.4-20 MB/s d2h)
-            "tunnel_dispatch_ms": [round(health0[0], 2),
-                                   round(health1[0], 2)],
-            "tunnel_d2h_mbps": [round(health0[1], 1), round(health1[1], 1)],
         },
     }))
 

@@ -51,9 +51,16 @@ def _open(path: str | Path, mode: str = "rb"):
 def read_fastq(path: str | Path, chunk_size: int = 50_000) -> Iterator[FastqChunk]:
     """Stream one fastq file in chunks of `chunk_size` reads.
 
-    Block-based parser: reads 8 MB blocks and splits lines in bulk — the
-    readline-per-line loop it replaces was ~9% of warm pass-2 wall-clock.
+    Record parsing runs in the native extension when present (one C pass
+    creating exactly 4 bytes objects per record — the Python block parser
+    it replaces was ~0.34 s per 32k-read warm e2e); the Python block
+    parser remains the fallback.
     """
+    from sicelore_tpu.io import native as _native
+    ext = _native.get_hostenc()
+    if ext is not None and hasattr(ext, "parse_fastq"):
+        yield from _read_fastq_native(path, chunk_size, ext)
+        return
     names, comments, seqs, quals = [], [], [], []
     pend: list[bytes] = []  # parsed lines not yet grouped into records
     with _open(path) as fh:
@@ -115,6 +122,55 @@ def read_fastq(path: str | Path, chunk_size: int = 50_000) -> Iterator[FastqChun
                 comments.append(comment)
                 seqs.append(seq)
                 quals.append(qual)
+    if names:
+        yield FastqChunk(names, comments, seqs, quals)
+
+
+def _read_fastq_native(path, chunk_size: int, ext) -> Iterator[FastqChunk]:
+    names, comments, seqs, quals = [], [], [], []
+    with _open(path) as fh:
+        rem = b""
+        while True:
+            data = fh.read(8 << 20)
+            if not data:
+                break
+            block = rem + data if rem else data
+            try:
+                ns, cs, ss, qs, used = ext.parse_fastq(block)
+            except ValueError as e:
+                raise ValueError(f"{e} in {path}") from None
+            rem = block[used:]
+            names.extend(ns)
+            comments.extend(cs)
+            seqs.extend(ss)
+            quals.extend(qs)
+            while len(names) >= chunk_size:
+                yield FastqChunk(names[:chunk_size], comments[:chunk_size],
+                                 seqs[:chunk_size], quals[:chunk_size])
+                names = names[chunk_size:]
+                comments = comments[chunk_size:]
+                seqs = seqs[chunk_size:]
+                quals = quals[chunk_size:]
+        # trailing partial record (file not ending in newline)
+        if rem.strip():
+            lines = [ln.rstrip(b"\r") for ln in rem.split(b"\n")]
+            while lines and not lines[-1]:
+                lines.pop()
+            if lines:
+                header = lines[0]
+                if not header.startswith(b"@"):
+                    raise ValueError(
+                        f"malformed fastq header in {path}: {header[:60]!r}")
+                sp = header.find(b" ")
+                name, comment = ((header[1:], b"") if sp == -1 else
+                                 (header[1:sp], header[sp + 1:]))
+                seq = lines[1] if len(lines) > 1 else b""
+                qual = lines[3] if len(lines) > 3 else b""
+                if seq or qual:
+                    names.append(name)
+                    comments.append(comment)
+                    seqs.append(seq)
+                    quals.append(qual)
     if names:
         yield FastqChunk(names, comments, seqs, quals)
 

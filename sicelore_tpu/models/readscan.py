@@ -511,6 +511,36 @@ def build_tiles(seqs: list[bytes], cfg: PipelineConfig):
     return rows, np.asarray(read_idx, np.int32), ma[:, 3].astype(np.int32)
 
 
+def tiles_to_2bit_tm(rows: np.ndarray, Tp: int):
+    """Nibble tile rows [T, TILE/2+16] -> (2-bit text-major
+    [TILE/4+16, Tp] u8, dirty [T] bool — any N inside tlen). Native
+    single-pass converter (hostenc.tiles2bit_tm) with a numpy fallback;
+    halves the tile upload (VERDICT r4 item 2 / NOTES_ROUND5 item 2)."""
+    from sicelore_tpu.io import native as _native
+    T = len(rows)
+    R2 = TILE // 4 + TILE_META
+    ext = _native.get_hostenc()
+    if ext is not None and hasattr(ext, "tiles2bit_tm"):
+        buf, d = ext.tiles2bit_tm(np.ascontiguousarray(rows), T, TILE, Tp)
+        return (np.frombuffer(buf, np.uint8).reshape(R2, Tp),
+                np.frombuffer(d, np.uint8)[:T].astype(bool))
+    nib = rows[:, :TILE // 2]
+    codes = np.empty((T, TILE), np.uint8)
+    codes[:, 0::2] = nib >> 4
+    codes[:, 1::2] = nib & 0xF
+    tlen = (rows[:, TILE // 2 + 4].astype(np.int32)
+            | (rows[:, TILE // 2 + 5].astype(np.int32) << 8))
+    dirty = ((codes >= 4) & (np.arange(TILE)[None, :] < tlen[:, None])
+             ).any(axis=1)
+    c = np.minimum(codes, 3)
+    packed = (c[:, 0::4] | (c[:, 1::4] << 2) | (c[:, 2::4] << 4)
+              | (c[:, 3::4] << 6))
+    out = np.zeros((R2, Tp), np.uint8)
+    out[:TILE // 4, :T] = packed.T
+    out[TILE // 4:, :T] = rows[:, TILE // 2:].T
+    return out, dirty
+
+
 def _make_internal_tile_inner(cfg: PipelineConfig):
     p = cfg.polyat
     k = p.internal_pat_length
@@ -1319,18 +1349,17 @@ class ReadScanModel:
                     tilescan_tpu.make_tile_scan_kernel(self.cfg))
             T = len(rows)
             Tp = bucket_length(T, 1024)
-            ext = _hostenc()
-            if ext is not None and hasattr(ext, "transpose_u8"):
-                buf = ext.transpose_u8(np.ascontiguousarray(rows), T,
-                                       rows.shape[1], Tp)
-                rows_tm = np.frombuffer(buf, np.uint8).reshape(
-                    rows.shape[1], Tp)
-            else:
-                rows_tm = np.zeros((rows.shape[1], Tp), np.uint8)
-                rows_tm[:, :T] = rows.T
+            rows_tm, dirty = tiles_to_2bit_tm(rows, Tp)
             parts = [self._tile_kfn(jnp.asarray(rows_tm))]
             _prefetch(parts)
-            return parts, read_idx, g0s, T
+            # dirty tiles (an N inside tlen, rare): the 2-bit rows alias N
+            # to a base, so re-scan those on the exact jnp nibble inner
+            # (host CPU backend) and let finish_internal_tiles substitute
+            fix = None
+            didx = np.nonzero(dirty)[0]
+            if len(didx):
+                fix = (didx, self._dirty_tile_scan(rows[didx]))
+            return parts, read_idx, g0s, T, fix
         if not hasattr(self, "_tile_fn"):
             if self.mesh is not None:
                 self._tile_fn = make_internal_tile_sharded_fn(
@@ -1342,18 +1371,37 @@ class ReadScanModel:
                                self.peq_adc)
                  for c0, take in spans]
         _prefetch(parts)
-        return parts, read_idx, g0s, len(rows)
+        return parts, read_idx, g0s, len(rows), None
+
+    def _dirty_tile_scan(self, rows: np.ndarray) -> np.ndarray:
+        """Exact nibble-path scan of N-containing tiles on the host CPU
+        backend -> [3, Td] i32 (same contract as the kernel columns)."""
+        if not hasattr(self, "_dirty_fn"):
+            cpu = jax.devices("cpu")[0]
+            inner = _make_internal_tile_inner(self.cfg)
+            self._dirty_fn = jax.jit(inner, device=cpu)
+            self._dirty_peq = jax.device_put(self.peq_adc, cpu)
+        Td = len(rows)
+        Tp = bucket_length(Td, 8)
+        if Tp != Td:
+            rows = np.concatenate(
+                [rows, np.tile(rows[-1:], (Tp - Td, 1))])
+        return np.asarray(self._dirty_fn(rows, self._dirty_peq)
+                          ).astype(np.int32)[:, :Td]
 
     def finish_internal_tiles(self, handle):
         """-> (splits {read_idx: [global split pos]} for single-junction
         reads, discard set for multi-junction reads)."""
         if handle is None:
             return {}, set()
-        parts, read_idx, g0s, T = handle
+        parts, read_idx, g0s, T, fix = handle
         arr = np.concatenate(
             [np.asarray(h) if h.ndim == 2
              else np.asarray(h).transpose(1, 0, 2).reshape(3, -1)
              for h in parts], axis=1)[:, :T].astype(np.int32)
+        if fix is not None:           # dirty tiles: exact nibble results
+            didx, darr = fix
+            arr[:, didx] = darr
         n, s0, s1 = arr[0], arr[1], arr[2]
         hot = np.nonzero(n > 0)[0]
         per_read: dict[int, set] = {}

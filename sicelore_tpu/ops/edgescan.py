@@ -408,8 +408,16 @@ def compute_qvs2_np(qv2: np.ndarray, true_lens: np.ndarray, out: dict,
     rows = np.arange(B)[:, None]
 
     def window_mean(s_str, e_str):
-        s = np.where(is_fwd, s_str, lens - 1 - e_str)
-        e = np.where(is_fwd, e_str, lens - 1 - s_str)
+        s = np.where(is_fwd, s_str, lens - 1 - e_str).astype(np.int64)
+        e = np.where(is_fwd, e_str, lens - 1 - s_str).astype(np.int64)
+        from sicelore_tpu.io import native as _native
+        ext = _native.get_hostenc()
+        if ext is not None and hasattr(ext, "window_qv_means"):
+            buf = ext.window_qv_means(
+                np.ascontiguousarray(qv2, dtype=np.int8), B, E,
+                np.ascontiguousarray(lens), np.ascontiguousarray(s),
+                np.ascontiguousarray(e))
+            return np.frombuffer(buf, np.float32).copy()
         s = np.clip(s, 0, None)
         e1 = np.minimum(e + 1, lens)
         n = np.maximum(e1 - s, 1)

@@ -2,7 +2,11 @@
 
 The round-3 tile scan ran detection + confirm as a jnp lax.map fusion —
 measured ~750 ms per 32k-read chunk of device dispatch+drain, the largest
-device term of the warm e2e (NOTES_ROUND4 item 2). Here one kernel
+device term of the warm e2e (NOTES_ROUND4 item 2). Round 5: tile rows are
+2-BIT packed (native/hostenc tiles2bit_tm, halving the 25 MB/32k-chunk
+upload over the ~10-25 MB/s tunnel); tiles with an N inside tlen (rare)
+are flagged dirty host-side and re-scanned by the exact jnp nibble inner
+so N never aliases to a base. Here one kernel
 instance processes 1024 tile rows on (sublane, lane) = [8, 128] with three
 static column sweeps over the 1024-base tile:
 
@@ -40,7 +44,7 @@ from sicelore_tpu.utils.config import PipelineConfig
 
 TILE = 1024
 META = 16
-PACK_ROWS = TILE // 2 + META      # nibble text rows + meta byte rows
+PACK_ROWS = TILE // 4 + META      # 2-bit text rows + meta byte rows
 U = 16
 
 
@@ -54,22 +58,26 @@ def _tile_kernel(peq_ref, packed_ref, out_ref, T, *, k: int, mc: int,
         return jnp.where(c, one, zero)
 
     # ---- meta rows ----
-    mb = [packed_ref[TILE // 2 + i].astype(jnp.int32) for i in range(16)]
+    mb = [packed_ref[TILE // 4 + i].astype(jnp.int32) for i in range(16)]
     own_lo = mb[0] | (mb[1] << 8)
     own_hi = mb[2] | (mb[3] << 8)
     tlen = mb[4] | (mb[5] << 8)
     g0 = mb[8] | (mb[9] << 8) | (mb[10] << 16) | (mb[11] << 24)
     rlen = mb[12] | (mb[13] << 8) | (mb[14] << 16) | (mb[15] << 24)
 
-    # ---- unpack nibbles (codes 0..5; N/PAD never match) ----
-    for blk in range(TILE // 2 // 8):
+    # ---- unpack 2-bit codes (4 bases/byte; N-containing tiles are
+    # flagged dirty by the host converter and re-scanned on the exact
+    # nibble jnp path — pad aliases beyond tlen are masked below) ----
+    for blk in range(TILE // 4 // 8):
         rows = packed_ref[blk * 8:blk * 8 + 8]
         vals = []
         for q in range(8):
             b = rows[q].astype(jnp.int32)
-            vals.append((b >> 4) & 0xF)
-            vals.append(b & 0xF)
-        T[blk * 16:blk * 16 + 16] = jnp.stack(vals, axis=0)
+            vals.append(b & 3)
+            vals.append((b >> 2) & 3)
+            vals.append((b >> 4) & 3)
+            vals.append((b >> 6) & 3)
+        T[blk * 32:blk * 32 + 32] = jnp.stack(vals, axis=0)
 
     # ---- phase 1: detection (run starts per direction) ----
     cA = cT = zero
