@@ -84,6 +84,11 @@ class GapBatcher:
         from sicelore_tpu.ops import poa_tpu
         if not (1 <= len(R) <= MAX_SEG and 1 <= len(Q) <= MAX_SEG):
             return False
+        # the kernel's 2-bit uploads cannot carry N (assembly-gap runs in
+        # the reference genome): those segments take the plain I+D path
+        if R.translate(None, poa_tpu._ACGT) or Q.translate(
+                None, poa_tpu._ACGT):
+            return False
         Lc = max(256, 1 << (len(R) - 1).bit_length())
         W = poa_tpu.w_for(Lc)
         return abs(len(R) - len(Q)) < W // 2 - 4
@@ -106,23 +111,23 @@ class GapBatcher:
             PADL = poa_tpu.padl_for(W)
             Lrp = ((PADL + Lc + W + 127) // 128) * 128
             Pp = max(poa_tpu.pp_step(Lc), 1 << (P - 1).bit_length())
-            cT = np.full((Lc, Pp), dna.PAD, np.int8)
-            rT = np.full((Lrp, Pp), dna.PAD, np.int8)
+            # v2 upload layout: each gap pair is its own "molecule"
+            # (mids = identity), 2-bit packed like the consensus engine
+            cmol = np.zeros((Pp, Lc), np.int8)
+            rT = np.full((Lrp, Pp), 3, np.int8)
             cl = np.zeros(Pp, np.int32)
             rl = np.zeros(Pp, np.int32)
             for p, (R, Q) in enumerate(pairs):
-                cT[:len(R), p] = dna.encode(R)
+                cmol[p, :len(R)] = dna.encode(R)
                 rT[PADL:PADL + len(Q), p] = dna.encode(Q)
                 cl[p] = len(R)
                 rl[p] = len(Q)
-            if self.use_device:
-                aligned, ins, feas = poa_tpu.band_align_pallas(
-                    jnp.asarray(cT), jnp.asarray(cl), jnp.asarray(rT),
-                    jnp.asarray(rl), Lc)
-            else:  # CPU tests: jnp votes formulation is enough
-                aligned, ins, feas = poa_tpu.band_align_pallas(
-                    jnp.asarray(cT), jnp.asarray(cl), jnp.asarray(rT),
-                    jnp.asarray(rl), Lc, interpret=True)
+            mids = np.arange(Pp, dtype=np.int32)
+            aligned, ins, feas, _ = poa_tpu.band_align_pallas(
+                jnp.asarray(poa_tpu.pack2bit_cols_np(rT)),
+                jnp.asarray(rl), jnp.asarray(mids),
+                jnp.asarray(poa_tpu.pack2bit_rows_np(cmol)),
+                jnp.asarray(cl), Lc, interpret=not self.use_device)
             ins_sums = np.asarray(ins.astype(np.int32)).reshape(
                 Pp, Lc + 1, -1).sum(axis=2)
             self.results[Lc] = (np.asarray(aligned), ins_sums,
