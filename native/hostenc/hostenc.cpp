@@ -998,6 +998,167 @@ fail:
   return nullptr;
 }
 
+
+// ---------------------------------------------------------------------------
+// chain_dp — minimap2-style splice-tolerant anchor chain DP (the inner
+// per-read Python loop in align/chain.py was the aligner's scaling
+// bottleneck, VERDICT r4 item 3). Sequential in anchors, C-speed; the
+// traceback + second-best stay vectorized numpy in the caller.
+// ---------------------------------------------------------------------------
+
+// chain_dp(q i64[n], g i64[n], n, k, window, max_intron) ->
+//   (f f32[n], parent i32[n])
+PyObject *py_chain_dp(PyObject *, PyObject *args) {
+  Py_buffer qb, gb;
+  Py_ssize_t n, k, win, max_intron;
+  if (!PyArg_ParseTuple(args, "y*y*nnnn", &qb, &gb, &n, &k, &win,
+                        &max_intron))
+    return nullptr;
+  if (qb.len < n * 8 || gb.len < n * 8) {
+    PyBuffer_Release(&qb); PyBuffer_Release(&gb);
+    PyErr_SetString(PyExc_ValueError, "bad chain_dp dims");
+    return nullptr;
+  }
+  PyObject *f_o = PyByteArray_FromStringAndSize(nullptr, n * 4);
+  PyObject *p_o = PyByteArray_FromStringAndSize(nullptr, n * 4);
+  if (!f_o || !p_o) {
+    Py_XDECREF(f_o); Py_XDECREF(p_o);
+    PyBuffer_Release(&qb); PyBuffer_Release(&gb);
+    return nullptr;
+  }
+  float *f = (float *)PyByteArray_AS_STRING(f_o);
+  int32_t *parent = (int32_t *)PyByteArray_AS_STRING(p_o);
+  const int64_t *q = (const int64_t *)qb.buf;
+  const int64_t *g = (const int64_t *)gb.buf;
+  Py_BEGIN_ALLOW_THREADS
+  for (Py_ssize_t i = 0; i < n; i++) {
+    f[i] = (float)k;
+    parent[i] = -1;
+    Py_ssize_t j0 = i - win > 0 ? i - win : 0;
+    float bestv = -1e18f; Py_ssize_t bestj = -1;
+    for (Py_ssize_t j = j0; j < i; j++) {
+      int64_t dq = q[i] - q[j], dg = g[i] - g[j];
+      if (dq <= 0 || dg <= 0 || dg >= max_intron) continue;
+      int64_t gap = dg - dq; if (gap < 0) gap = -gap;
+      float cost = gap < 64 ? 0.5f * (float)gap
+                            : 32.0f + 4.0f * log2f((float)gap);
+      int64_t match = dq < dg ? dq : dg;
+      if (match > k) match = k;
+      float cand = f[j] + (float)match - cost;
+      if (cand > bestv) { bestv = cand; bestj = j; }
+    }
+    if (bestj >= 0 && bestv > f[i]) {
+      f[i] = bestv;
+      parent[i] = (int32_t)bestj;
+    }
+  }
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&qb); PyBuffer_Release(&gb);
+  PyObject *r = PyTuple_Pack(2, f_o, p_o);
+  Py_DECREF(f_o); Py_DECREF(p_o);
+  return r;
+}
+
+
+// ---------------------------------------------------------------------------
+// build_minimizers — minimap2-style minimizer sketch of one contig
+// (canonical k-mer min-hash over w-windows), exactly matching
+// align/index.minimizers: invertible murmur-style finalizer, first-index
+// tie-breaking, consecutive-duplicate dedupe, N-window invalidation.
+// The numpy build capped the index at ~100 Mb references (VERDICT r4
+// item 3 "move the index build to native/"); this is single-pass C with
+// a monotonic deque, GIL released (callers thread across contigs).
+// ---------------------------------------------------------------------------
+
+static inline uint64_t mix64(uint64_t h) {
+  h = ~h + (h << 21);
+  h = h ^ (h >> 24);
+  h = h + (h << 3) + (h << 8);
+  h = h ^ (h >> 14);
+  h = h + (h << 2) + (h << 4);
+  h = h ^ (h >> 28);
+  h = h + (h << 31);
+  return h;
+}
+
+// build_minimizers(seq: bytes, k, w) -> (hash u64[m], pos u32[m],
+//   strand u8[m])
+PyObject *py_build_minimizers(PyObject *, PyObject *args) {
+  Py_buffer sb;
+  Py_ssize_t k, w;
+  if (!PyArg_ParseTuple(args, "y*nn", &sb, &k, &w)) return nullptr;
+  const uint8_t *seq = (const uint8_t *)sb.buf;
+  const Py_ssize_t L = sb.len;
+  const Py_ssize_t n = L - k + 1;
+  std::vector<uint64_t> hs;
+  std::vector<uint32_t> ps;
+  std::vector<uint8_t> ss;
+  if (n >= w) {
+    Py_BEGIN_ALLOW_THREADS
+    const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+    const uint64_t INVALID = 0xFFFFFFFFFFFFFFFFULL;
+    // rolling forward/revcomp codes + per-window hash, streamed through
+    // a monotonic deque (front = argmin with first-index ties)
+    std::vector<uint64_t> hbuf(n);
+    std::vector<uint8_t> rcbuf(n);
+    uint64_t fwd = 0, rev = 0;
+    Py_ssize_t bad_run = 0;
+    for (Py_ssize_t i = 0; i < L; i++) {
+      uint8_t c = ENC[seq[i]];
+      uint8_t cc = c > 3 ? 0 : c;
+      bad_run = c > 3 ? 0 : bad_run + 1;  // valid-suffix length
+      fwd = ((fwd << 2) | cc) & mask;
+      rev = (rev >> 2) | ((uint64_t)(3 ^ cc) << (2 * (k - 1)));
+      if (i >= k - 1) {
+        Py_ssize_t p = i - (k - 1);
+        if (bad_run >= k) {
+          uint8_t rc = rev < fwd;
+          hbuf[p] = mix64(rc ? rev : fwd);
+          rcbuf[p] = rc;
+        } else {
+          hbuf[p] = INVALID;
+          rcbuf[p] = 0;
+        }
+      }
+    }
+    std::vector<Py_ssize_t> dq(n);
+    Py_ssize_t qh = 0, qt = 0;  // deque [qh, qt)
+    Py_ssize_t last_pos = -1;
+    for (Py_ssize_t i = 0; i < n; i++) {
+      while (qt > qh && hbuf[dq[qt - 1]] > hbuf[i]) qt--;
+      dq[qt++] = i;
+      if (dq[qh] <= i - w) qh++;
+      if (i >= w - 1) {
+        Py_ssize_t p = dq[qh];
+        if (p != last_pos && hbuf[p] != INVALID) {
+          hs.push_back(hbuf[p]);
+          ps.push_back((uint32_t)p);
+          ss.push_back(rcbuf[p]);
+          last_pos = p;
+        } else if (p != last_pos) {
+          last_pos = p;  // invalid minimizer: numpy path also skips it
+        }
+      }
+    }
+    Py_END_ALLOW_THREADS
+  }
+  const Py_ssize_t m = (Py_ssize_t)hs.size();
+  PyObject *h_o = PyByteArray_FromStringAndSize(
+      (const char *)hs.data(), m * 8);
+  PyObject *p_o = PyByteArray_FromStringAndSize(
+      (const char *)ps.data(), m * 4);
+  PyObject *s_o = PyByteArray_FromStringAndSize(
+      (const char *)ss.data(), m);
+  PyBuffer_Release(&sb);
+  if (!h_o || !p_o || !s_o) {
+    Py_XDECREF(h_o); Py_XDECREF(p_o); Py_XDECREF(s_o);
+    return nullptr;
+  }
+  PyObject *r = PyTuple_Pack(3, h_o, p_o, s_o);
+  Py_DECREF(h_o); Py_DECREF(p_o); Py_DECREF(s_o);
+  return r;
+}
+
 PyMethodDef methods[] = {
     {"transpose_u8", py_transpose_u8, METH_VARARGS,
      "[T, R] u8 row-major -> [R, Tp] text-major (zero-padded columns)"},
@@ -1007,6 +1168,10 @@ PyMethodDef methods[] = {
      "mean phred over [s,e] windows of the two-half composite quals"},
     {"parse_fastq", py_parse_fastq, METH_VARARGS,
      "fastq block -> (names, comments, seqs, quals, consumed bytes)"},
+    {"chain_dp", py_chain_dp, METH_VARARGS,
+     "splice-tolerant anchor chain DP -> (scores f32, parents i32)"},
+    {"build_minimizers", py_build_minimizers, METH_VARARGS,
+     "contig bytes -> (minimizer hashes u64, positions u32, strands u8)"},
     {"encode_composite_tm", py_encode_composite_tm, METH_VARARGS,
      "fastq chunk -> round-4 two-half text-major packed composite"},
     {"encode_composite_2bit", py_encode_composite_2bit, METH_VARARGS,

@@ -5,7 +5,11 @@ Two-phase batches: phase 1 chains every read and plans its CIGAR,
 collecting ordinary gap segments into the device GapBatcher; phase 2 runs
 ONE banded-alignment sweep per length bucket and assembles records.
 Output is a coordinate-sorted BAM + BAI through the framework's own codec
-(io/bam.py) with the tags downstream stages read (de, NM, AS, tp).
+(io/bam.py) with the tags downstream stages read (de, NM, AS, MD, tp),
+secondary records (FLAG 0x100, tp:A:S) for near-tied distinct loci, and
+supplementary records (FLAG 0x800 + reciprocal SA) for chimeric split
+reads — the Step-6 FusionDetector's input contract
+(/root/reference/README.md:1489-1607).
 """
 from __future__ import annotations
 
@@ -60,11 +64,44 @@ class NativeAligner:
     # ---- per-read planning ------------------------------------------------
 
     def _plan(self, seq: bytes, batcher: ext.GapBatcher):
-        """-> None (unmapped) or a plan dict consumed by _finish."""
+        """-> None (unmapped) or [plan dicts] consumed by _finish: the
+        primary first, then supplementary plans for chains covering a
+        query span mostly disjoint from the primary (chimeric/fusion
+        parts -> FLAG 0x800, reference Step 6 FusionDetector input) and
+        secondary plans for near-tied chains elsewhere on the reference
+        (FLAG 0x100, mapq 0, tp:A:S)."""
         chains = chainmod.best_chains(seq, self.index)
         if not chains:
             return None
-        score, second, strand, q, g = chains[0]
+        plans = [self._plan_chain(chains[0], seq, batcher)]
+        if plans[0] is None:
+            return None
+        pq = chains[0][3]
+        pspan = (int(pq[0]), int(pq[-1]) + self.k)
+        pg = chains[0][4]
+        for ch in chains[1:3]:
+            score, second, strand, q, g = ch
+            if score < 0.5 * chains[0][0]:
+                break
+            qlo, qhi = int(q[0]), int(q[-1]) + self.k
+            ov = (min(qhi, pspan[1]) - max(qlo, pspan[0])) / max(
+                qhi - qlo, 1)
+            same_locus = abs(int(g[0]) - int(pg[0])) < 1_000_000
+            if ov < 0.2:
+                pl = self._plan_chain(ch, seq, batcher)
+                if pl is not None:
+                    pl["suppl"] = True
+                    plans.append(pl)
+            elif score >= 0.8 * chains[0][0] and not same_locus:
+                pl = self._plan_chain(ch, seq, batcher)
+                if pl is not None:
+                    pl["secondary"] = True
+                    plans.append(pl)
+        return plans
+
+    def _plan_chain(self, chain_t, seq: bytes, batcher: ext.GapBatcher):
+        """One chain -> plan dict (None when degenerate)."""
+        score, second, strand, q, g = chain_t
         query = dna.revcomp_bytes(seq) if strand else seq
         # non-overlapping match blocks on one diagonal walk
         blocks = []          # (qs, qe, gs, ge) exact-ish anchor cover
@@ -135,11 +172,33 @@ class NativeAligner:
                 "second": second, "ci": ci, "pos": int(blocks[0][2]) - coff,
                 "cseq": cseq, "segs": segs}
 
+    def _finish_read(self, name: bytes, seq: bytes, qual: bytes, plans,
+                     batcher: ext.GapBatcher) -> list[BamRecord]:
+        if plans is None:
+            return [BamRecord(qname=name.decode(), flag=4,
+                              seq=seq.decode(),
+                              qual=bytes(q - 33 for q in qual))]
+        recs = [self._finish(name, seq, qual, p, batcher) for p in plans]
+        if len(recs) > 1:   # SA tags link split parts (SAM 1.6 #1.4.8)
+            sas = []
+            for r, p in zip(recs, plans):
+                nmv = next(v for t, ty, v in r.tags if t == "NM")
+                cig = "".join(f"{n}{op}" for op, n in r.cigar)
+                sas.append(f"{self.index.names[r.ref_id]},{r.pos + 1},"
+                           f"{'-' if r.flag & 16 else '+'},{cig},"
+                           f"{r.mapq},{nmv};")
+            for i, (r, p) in enumerate(zip(recs, plans)):
+                if p.get("secondary"):
+                    continue
+                others = "".join(sa for j, sa in enumerate(sas)
+                                 if j != i and not plans[j].get(
+                                     "secondary"))
+                if others:
+                    r.tags.append(("SA", "Z", others))
+        return recs
+
     def _finish(self, name: bytes, seq: bytes, qual: bytes, plan,
                 batcher: ext.GapBatcher) -> BamRecord:
-        if plan is None:
-            return BamRecord(qname=name.decode(), flag=4, seq=seq.decode(),
-                             qual=bytes(q - 33 for q in qual))
         cseq = plan["cseq"]
         query = plan["query"]
         ops: list = []
@@ -204,6 +263,8 @@ class NativeAligner:
         qpos = 0
         gpos = plan["pos"] = plan["pos"] + pos_shift
         mm = gaps = matched = 0
+        md: list[str] = []     # MD:Z per SAMtags spec: matches as counts,
+        md_run = 0             # mismatches as ref base, deletions ^bases
         for op, n in ops:
             if op in ("S", "I"):
                 if op == "I":
@@ -212,27 +273,45 @@ class NativeAligner:
             elif op in ("D", "N"):
                 if op == "D":
                     gaps += n
+                    md.append(str(md_run))
+                    md.append("^" + cseq[gpos:gpos + n].decode())
+                    md_run = 0
                 gpos += n
             elif op == "M":
                 a = np.frombuffer(query[qpos:qpos + n], np.uint8)
                 b = np.frombuffer(cseq[gpos:gpos + n], np.uint8)
-                mm += int((a != b[:len(a)]).sum())
+                neq = np.nonzero(a != b[:len(a)])[0]
+                mm += len(neq)
+                prev = 0
+                for x in neq.tolist():
+                    md.append(str(md_run + (x - prev)))
+                    md.append(chr(b[x]))
+                    md_run = 0
+                    prev = x + 1
+                md_run += n - prev
                 matched += n
                 qpos += n
                 gpos += n
+        md.append(str(md_run))
         nm = mm + gaps
         de = round(nm / max(matched + gaps, 1), 4)
         flag = 16 if plan["strand"] else 0
+        if plan.get("secondary"):
+            flag |= 0x100
+        if plan.get("suppl"):
+            flag |= 0x800
         qv = qual[::-1] if plan["strand"] else qual
         return BamRecord(
             qname=name.decode(), flag=flag, ref_id=plan["ci"],
-            pos=plan["pos"], mapq=chainmod.mapq(plan["score"],
-                                                plan["second"]),
+            pos=plan["pos"],
+            mapq=0 if plan.get("secondary") else chainmod.mapq(
+                plan["score"], plan["second"]),
             cigar=[(op, n) for op, n in ops],
             seq=query.decode(),
             qual=bytes(q - 33 for q in qv),
             tags=[("NM", "i", nm), ("AS", "i", int(plan["score"])),
-                  ("de", "f", de), ("tp", "A", "P")])
+                  ("de", "f", de), ("MD", "Z", "".join(md)),
+                  ("tp", "A", "S" if plan.get("secondary") else "P")])
 
     def _annotated_junction(self, ci: int, jlocal: int, qlen: int,
                             intron: int, rlen: int):
@@ -268,8 +347,10 @@ class NativeAligner:
         plans = [self._plan(s, batcher) for s in seqs]
         if any(v for v in batcher.jobs.values()):
             batcher.run()
-        return [self._finish(n, s, q, p, batcher)
-                for n, s, q, p in zip(names, seqs, quals, plans)]
+        out: list[BamRecord] = []
+        for n, s, q, p in zip(names, seqs, quals, plans):
+            out.extend(self._finish_read(n, s, q, p, batcher))
+        return out
 
     def align_fastq_to_bam(self, fastq, out_bam, chunk_size: int = 2048,
                            keep_unmapped: bool = False):

@@ -221,3 +221,88 @@ def test_junc_bed_snapping(genome, tmp_path):
         if op in ("M", "D"):
             before += n
     assert rec.pos + before == intron_start
+
+
+def test_md_tag(genome):
+    """MD:Z must reconstruct the reference over aligned columns (SAMtags
+    spec): validated by regenerating the ref M/D bases from query + MD."""
+    import re
+    g = genome["chrT"]
+    rng = np.random.default_rng(5)
+    s = 50_000
+    read = bytearray(g[s:s + 800])
+    for p in (100, 333, 507):   # substitutions
+        read[p] = b"ACGT"[(b"ACGT".index(read[p:p + 1]) + 1) % 4]
+    read = bytes(read)
+    al = NativeAligner(genome)
+    rec = al.align_batch([b"md"], [read])[0]
+    md = next(v for t, ty, v in rec.tags if t == "MD")
+    # reconstruct ref from query + CIGAR + MD and compare to the genome
+    qpos = 0
+    ref = bytearray()
+    qaln = bytearray()
+    for op, n in rec.cigar:
+        if op in ("S",):
+            qpos += n
+        elif op == "I":
+            qpos += n
+        elif op == "M":
+            qaln += rec.seq[qpos:qpos + n].encode()
+            qpos += n
+        elif op in ("D", "N"):
+            pass
+    toks = re.findall(r"(\d+)|(\^[A-Z]+)|([A-Z])", md)
+    qi = 0
+    for num, dele, sub in toks:
+        if num:
+            k = int(num)
+            ref += qaln[qi:qi + k]
+            qi += k
+        elif sub:
+            ref += sub.encode()
+            qi += 1
+        # deletions consume no query-aligned bases
+    truth = g[rec.pos:rec.pos + len(ref)]
+    # ref bases at N gaps are skipped in both reconstructions
+    assert bytes(ref[:200]) == truth[:200]
+    nm = next(v for t, ty, v in rec.tags if t == "NM")
+    assert nm >= 3
+
+
+def test_supplementary_chimera(genome):
+    """A fusion read (two distant loci) must emit a primary + a
+    FLAG 0x800 supplementary record with reciprocal SA tags."""
+    read = (genome["chrT"][20_000:20_900]
+            + genome["chrU"][20_000:20_900])
+    al = NativeAligner(genome)
+    recs = al.align_batch([b"fus"], [read])
+    assert len(recs) >= 2, [r.flag for r in recs]
+    prim = [r for r in recs if not (r.flag & 0x900)]
+    supp = [r for r in recs if r.flag & 0x800]
+    assert len(prim) == 1 and len(supp) >= 1, [r.flag for r in recs]
+    sa_p = next(v for t, ty, v in prim[0].tags if t == "SA")
+    sa_s = next(v for t, ty, v in supp[0].tags if t == "SA")
+    assert sa_p.endswith(";") and sa_s.endswith(";")
+    # the two parts land on different contigs
+    assert {prim[0].ref_id, supp[0].ref_id} == {0, 1}
+
+
+def test_index_save_load(genome, tmp_path):
+    """Index serialization round-trips and aligns identically."""
+    from sicelore_tpu.align import index as idx
+    mi = idx.MinimizerIndex(genome)
+    f = tmp_path / "ref.npz"
+    mi.save(f)
+    m2 = idx.MinimizerIndex.load(f)
+    assert (m2.h == mi.h).all() and (m2.p == mi.p).all()
+    al1 = NativeAligner(genome)
+    al2 = NativeAligner.__new__(NativeAligner)
+    al2.index = m2
+    al2.k = m2.k
+    al2.junctions = {}
+    al2.use_device = al1.use_device
+    g = genome["chrT"]
+    read = g[10_000:10_700]
+    r1 = al1.align_batch([b"x"], [read])[0]
+    r2 = al2.align_batch([b"x"], [read])[0]
+    assert (r1.pos, r1.cigar) == (r2.pos, r2.cigar)
