@@ -1041,7 +1041,7 @@ PyObject *py_chain_dp(PyObject *, PyObject *args) {
       if (dq <= 0 || dg <= 0 || dg >= max_intron) continue;
       int64_t gap = dg - dq; if (gap < 0) gap = -gap;
       float cost = gap < 64 ? 0.5f * (float)gap
-                            : 32.0f + 4.0f * log2f((float)gap);
+                            : 16.0f + 2.0f * log2f((float)gap);
       int64_t match = dq < dg ? dq : dg;
       if (match > k) match = k;
       float cand = f[j] + (float)match - cost;

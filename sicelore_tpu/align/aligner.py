@@ -146,19 +146,39 @@ class NativeAligner:
         else:
             segs.append(("S", q0))
         segs.append(("M", blocks[0][1] - blocks[0][0]))
+        pending = 0     # query bases borrowed from the upcoming M block
         for b0, b1 in zip(blocks, blocks[1:]):
+            mq = b1[1] - b1[0]
             Q = query[b0[1]:b1[0]]
             gs, ge2 = b0[3] - coff, b1[2] - coff
             R = cseq[gs:ge2]
             if len(R) - len(Q) >= ext.MIN_INTRON:
-                segs.append(("intron", len(R) - len(Q), gs, Q))
+                # borrow a margin from the flanking M blocks: anchors can
+                # overrun a junction by 1-2 chance-matching bases, which
+                # would put the true split OUTSIDE the gap window (13% of
+                # exact-read junctions placed +-1-2 bp before this)
+                bl = (min(8, segs[-1][1] - 1)
+                      if segs and segs[-1][0] == "M" else 0)
+                br = min(8, mq - 1)
+                if bl > 0:
+                    segs[-1] = ("M", segs[-1][1] - bl)
+                Q = query[b0[1] - bl:b1[0] + br]
+                segs.append(("intron", len(R) - len(Q) + bl + br,
+                             gs - bl, Q))
+                pending = br
             elif len(R) == 0 and len(Q) == 0:
                 pass
+            elif len(R) == len(Q):
+                # equal-length gap: aligned columns ARE the alignment
+                # (CIGAR M covers mismatches; NW at +5/-4 vs -8 gaps
+                # prefers mismatch runs over indel pairs) — no device
+                segs.append(("M", len(R)))
             elif batcher.feasible(R, Q) and len(R) and len(Q):
                 segs.append(("gap", batcher.add(R, Q), R, Q))
             else:
                 segs.append(("gap", None, R, Q))
-            segs.append(("M", b1[1] - b1[0]))
+            segs.append(("M", mq - pending))
+            pending = 0
         qt = len(query) - blocks[-1][1]
         ge4 = blocks[-1][3] - coff
         if 0 < qt <= ext.MAX_SEG and ge4 + qt <= len(cseq):
@@ -246,12 +266,18 @@ class NativeAligner:
                         for op, n in ext.plain_gap_ops(rest_r, rest_q):
                             ext._merge(ops, op, n)
                     continue
-                jsnap = ext.snap_junction(cseq, jlocal + len(Q), intron)
-                left = int(np.clip(jsnap - jlocal, 0, len(Q)))
+                left, ilen = self._best_split(cseq, jlocal, intron, Q,
+                                               plan["strand"])
                 ext._merge(ops, "M", left)
-                ext._merge(ops, "N", intron)
+                ext._merge(ops, "N", ilen)
                 rest_q = len(Q) - left
-                ext._merge(ops, "M", rest_q)
+                rest_r = rest_q + (intron - ilen)
+                if rest_q == rest_r:
+                    ext._merge(ops, "M", rest_q)
+                else:
+                    # exonic indel absorbed by the length correction
+                    for op, nn in ext.plain_gap_ops(rest_r, rest_q):
+                        ext._merge(ops, op, nn)
             else:
                 _, handle, R, Q = seg
                 sub = (batcher.get(handle, R, Q) if handle is not None
@@ -312,6 +338,62 @@ class NativeAligner:
             tags=[("NM", "i", nm), ("AS", "i", int(plan["score"])),
                   ("de", "f", de), ("MD", "Z", "".join(md)),
                   ("tp", "A", "S" if plan.get("secondary") else "P")])
+
+    @staticmethod
+    def _best_split(cseq: bytes, jlocal: int, intron: int, Q: bytes,
+                    strand: int = 0) -> int:
+        """Place the intron inside an anchor gap by maximizing matched
+        query bases (minimap2's splice alignment in miniature): query
+        index i left of the split aligns to ref jlocal+i, right of it to
+        ref jlocal+intron+i, so split score = prefix + suffix match
+        sums, and the intron length is re-estimated over canonical
+        motif sites near the chain-derived estimate (exonic indels skew
+        it). With stranded reads (`-uf`), a forward alignment means a
+        +-strand gene (GT..AG in genome-forward coords) and a reverse
+        alignment a −-strand gene (CT..AC). Returns (left, intron_len).
+        """
+        nq = len(Q)
+        if nq == 0:
+            return 0
+        qa = np.frombuffer(Q, np.uint8)
+        dl = np.frombuffer(cseq[jlocal:jlocal + nq], np.uint8)
+        ar = np.frombuffer(cseq[jlocal + intron:jlocal + intron + nq],
+                           np.uint8)
+        pl = np.zeros(nq + 1, np.int32)
+        pl[1:] = np.cumsum(qa[:len(dl)] == dl)[:nq] if len(dl) else 0
+        sr = np.zeros(nq + 1, np.int32)
+        if len(ar):
+            eq = (qa[:len(ar)] == ar).astype(np.int32)
+            sr[:len(eq)] = np.cumsum(eq[::-1])[::-1]
+        score = pl + sr
+        best = int(score.max())
+        # exonic INDELS between the flanking anchors skew the intron-
+        # length estimate len(R)-len(Q) by their size (measured: ~45% of
+        # noisy-read junctions off by 1-4): search canonical motifs over
+        # nearby lengths too, emitting the residual as a small I/D
+        pairs = ([(b"GT", b"AG"), (b"CT", b"AC")] if strand == 0
+                 else [(b"CT", b"AC"), (b"GT", b"AG")])
+        best_m = None
+        for L in range(max(30, intron - 6), intron + 7):
+            arL = np.frombuffer(cseq[jlocal + L:jlocal + L + nq],
+                                np.uint8)
+            srL = np.zeros(nq + 1, np.int32)
+            if len(arL):
+                eqL = (qa[:len(arL)] == arL).astype(np.int32)
+                srL[:len(eqL)] = np.cumsum(eqL[::-1])[::-1]
+            scL = pl + srL
+            for pi, (don, acc) in enumerate(pairs):
+                for left in np.nonzero(scL >= best - 5)[0].tolist():
+                    a = jlocal + left
+                    if (cseq[a:a + 2] == don
+                            and cseq[a + L - 2:a + L] == acc):
+                        val = (int(scL[left]) * 2 - 2 * abs(L - intron)
+                               - pi)   # strand-preferred pair wins ties
+                        if best_m is None or val > best_m[0]:
+                            best_m = (val, left, L)
+        if best_m is not None:
+            return int(best_m[1]), int(best_m[2])
+        return int(np.nonzero(score == best)[0][0]), intron
 
     def _annotated_junction(self, ci: int, jlocal: int, qlen: int,
                             intron: int, rlen: int):

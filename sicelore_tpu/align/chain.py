@@ -71,7 +71,7 @@ def _chain_dp(q: np.ndarray, g: np.ndarray, k: int):
         # splice-tolerant: big ref gaps cost log, small diagonal gaps
         # cost linearly
         cost = np.where(gap < 64, 0.5 * gap,
-                        32.0 + 4.0 * np.log2(np.maximum(gap, 1)))
+                        16.0 + 2.0 * np.log2(np.maximum(gap, 1)))
         match = np.minimum(np.minimum(dq, dg), k).astype(float)
         cand = f[j0:i] + match - cost
         cand = np.where(ok, cand, -1e18)

@@ -43,7 +43,8 @@ class Minimap2Aligner:
         return self.exe is not None
 
     def align(self, ref_fa, fastqs: list, out_bam, sort: bool = True):
-        if not self.available():
+        import shutil as _sh
+        if not self.available() or _sh.which(str(self.exe)) is None:
             raise RuntimeError(
                 "minimap2 not found on PATH — install it or provide an "
                 "aligned BAM (reference pipeline step 2, README.md:545)")
@@ -110,7 +111,17 @@ def run_pipeline(fastq_dir, ref_fa, refflat, outdir, whitelist=None,
 
     def _align(target):
         fastqs = sorted((scan_dir / "passed").glob("*.fastq*"))
-        if native_align:
+        use_native = native_align
+        if not use_native and (minimap2_path or "minimap2") == "minimap2":
+            import shutil as _sh
+            if _sh.which("minimap2") is None:
+                # minimap2 absent and not explicitly requested: the
+                # native aligner is the pipeline's self-contained
+                # fallback (accuracy: docs/ALIGNER.md). An explicit
+                # --minimap2 path that is missing still errors.
+                log("minimap2 not found; using the native spliced aligner")
+                use_native = True
+        if use_native:
             # framework-native spliced aligner (align/, the minimap2 role)
             from sicelore_tpu.align import NativeAligner
             aln2 = NativeAligner(ref_fa, junc_bed=junc_bed)

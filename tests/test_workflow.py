@@ -66,10 +66,13 @@ def test_workflow_end_to_end(tmp_path):
     (tmp_path / "ref.fa").write_text(">chr1\n" + "A" * 100 + "\n")
     out = tmp_path / "out"
 
-    # stage 1 only (minimap2 absent): run until the align stage fails
+    # stage 1 only: an EXPLICIT missing minimap2 path still fails the
+    # align stage (the silent native fallback applies only to the
+    # default tool name), leaving the resume point for the faked BAM
     with pytest.raises(RuntimeError, match="minimap2 not found"):
         run_pipeline(fq, tmp_path / "ref.fa", tmp_path / "model.refFlat",
-                     out, whitelist=wl_file, log=lambda *a: None)
+                     out, whitelist=wl_file, log=lambda *a: None,
+                     minimap2_path=str(tmp_path / "no-such-minimap2"))
 
     # fake the aligner output from the scanfastq result (resume picks it up)
     header = BamHeader("@SQ\tSN:chr1\tLN:100000\n", [("chr1", 100000)])
