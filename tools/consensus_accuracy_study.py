@@ -65,6 +65,7 @@ def banded_ed(a: str, b: str, W: int = 96) -> int:
 def main(out_path="docs/CONSENSUS_ACCURACY.md"):
     from sicelore_tpu.ops.poa_tpu import BatchedConsensusEngine
     from sicelore_tpu.utils import synth
+    from tools.poa_reference import poa_consensus
 
     def levenshtein_np(x, y):
         return banded_ed(x, y)
@@ -72,6 +73,7 @@ def main(out_path="docs/CONSENSUS_ACCURACY.md"):
     eng = BatchedConsensusEngine()
     rows = []
     M = 32
+    M_POA = 10   # graph POA is host python (~0.2 s/read): subset anchor
     for indel_frac, ifname in ((0.67, "indel-heavy (2/3)"),
                                (0.33, "uniform (1/3)")):
         for err in (0.03, 0.06, 0.12):
@@ -90,7 +92,8 @@ def main(out_path="docs/CONSENSUS_ACCURACY.md"):
                 t0 = time.time()
                 ref2 = eng(mols, refine=True)
                 t_ref = time.time() - t0
-                ids = {"star": [], "refine": [], "best_read": []}
+                ids = {"star": [], "refine": [], "best_read": [],
+                       "poa": [], "star_sub": []}
                 for mi, t in enumerate(truths):
                     L = len(t)
                     ids["star"].append(
@@ -100,12 +103,18 @@ def main(out_path="docs/CONSENSUS_ACCURACY.md"):
                     ids["best_read"].append(max(
                         1 - levenshtein_np(s.decode(), t) / L
                         for s in mols[mi]))
+                    if mi < M_POA:   # independent graph-POA anchor
+                        pc = poa_consensus(mols[mi])
+                        ids["poa"].append(
+                            1 - levenshtein_np(pc.decode(), t) / L)
+                        ids["star_sub"].append(ids["star"][-1])
                 med = {k: float(np.median(v)) for k, v in ids.items()}
                 rows.append((ifname, err, depth, med["best_read"],
-                             med["star"], med["refine"], t_star, t_ref))
+                             med["star"], med["refine"], med["poa"],
+                             med["star_sub"], t_star, t_ref))
                 print(f"{ifname} err={err} depth={depth}: "
                       f"read {med['best_read']:.4f} star {med['star']:.4f} "
-                      f"refine {med['refine']:.4f} "
+                      f"refine {med['refine']:.4f} poa {med['poa']:.4f} "
                       f"({t_star:.2f}s vs {t_ref:.2f}s)", flush=True)
 
     with open(out_path, "w") as fh:
@@ -120,17 +129,29 @@ def main(out_path="docs/CONSENSUS_ACCURACY.md"):
             "the cheap approximation of spoa's\npartial-order graph "
             "refinement (reference utils/Consensus.java:219).\n\n"
             "| error profile | err | depth | best read | star | refine | "
-            "star s | refine s |\n|---|---|---|---|---|---|---|---|\n")
-        # 32 molecules per cell, banded-exact identity
+            "POA (graph) | star (same subset) | star s | refine s |\n"
+            "|---|---|---|---|---|---|---|---|---|---|\n")
+        # 32 molecules per cell, banded-exact identity; the POA column is
+        # an INDEPENDENT from-scratch partial-order graph implementation
+        # (tools/poa_reference.py, Lee 2002 — spoa's algorithm; spoa
+        # itself is not installable in this zero-egress environment) run
+        # on the first 10 molecules of each cell, with the star engine's
+        # identity on the SAME subset alongside for a fair pairing
         for r in rows:
             fh.write(f"| {r[0]} | {r[1]:.0%} | {r[2]} | {r[3]:.4f} | "
-                     f"{r[4]:.4f} | {r[5]:.4f} | {r[6]:.2f} | {r[7]:.2f} |\n")
+                     f"{r[4]:.4f} | {r[5]:.4f} | {r[6]:.4f} | {r[7]:.4f} |"
+                     f" {r[8]:.2f} | {r[9]:.2f} |\n")
         star_all = np.array([r[4] for r in rows])
         ref_all = np.array([r[5] for r in rows])
+        poa_all = np.array([r[6] for r in rows])
+        star_sub = np.array([r[7] for r in rows])
         fh.write(
             f"\nMean identity: star {star_all.mean():.4f}, refine "
             f"{ref_all.mean():.4f} (delta {ref_all.mean()-star_all.mean():+.4f}"
-            f"; max single-cell delta {np.max(ref_all-star_all):+.4f}).\n")
+            f"; max single-cell delta {np.max(ref_all-star_all):+.4f}).\n"
+            f"POA anchor (10-molecule subsets): POA {poa_all.mean():.4f} "
+            f"vs star {star_sub.mean():.4f} on the same molecules "
+            f"(delta star-POA {star_sub.mean()-poa_all.mean():+.4f}).\n")
     print(f"wrote {out_path}")
 
 
