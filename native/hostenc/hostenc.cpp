@@ -260,6 +260,24 @@ PyObject *py_encode_batch(PyObject *, PyObject *args) {
 // metadata contract, /root/reference/README.md:396-459).
 // ---------------------------------------------------------------------------
 
+// nibble-pair LUTs for tiles2bit_tm: byte b holds tile chars (b>>4, b&0xF);
+// P2LO/P2HI give the clamped 2-bit pair at bits 0-3 / 4-7 of the packed
+// output byte, D2LO/D2HI the per-nibble >=4 (non-ACGT) flags at bits 0-1 /
+// 2-3 of a dirty mask.
+uint8_t P2LO[256], P2HI[256], D2LO[256], D2HI[256];
+struct Tile2Init {
+  Tile2Init() {
+    for (int b = 0; b < 256; b++) {
+      int hi = b >> 4, lo = b & 0xF;
+      int ch = hi > 3 ? 3 : hi, clo = lo > 3 ? 3 : lo;
+      P2LO[b] = (uint8_t)(ch | (clo << 2));
+      P2HI[b] = (uint8_t)((ch << 4) | (clo << 6));
+      D2LO[b] = (uint8_t)((hi >= 4) | ((lo >= 4) << 1));
+      D2HI[b] = (uint8_t)(((hi >= 4) << 2) | ((lo >= 4) << 3));
+    }
+  }
+} tile2_init;
+
 uint8_t RC[256];
 struct RcInit {
   RcInit() {
@@ -807,35 +825,50 @@ PyObject *py_tiles2bit_tm(PyObject *, PyObject *args) {
   uint8_t *dirty = (uint8_t *)PyByteArray_AS_STRING(d_o);
   const uint8_t *in = (const uint8_t *)src.buf;
   Py_BEGIN_ALLOW_THREADS
-  memset(out, 0, (size_t)R2 * Tp);
-  const Py_ssize_t BT = 64;  // cache-blocked like transpose_u8
+  // zero only the padding columns [T, Tp) — the work loop fills [0, T)
+  if (Tp > T)
+    for (Py_ssize_t r = 0; r < R2; r++)
+      memset(out + r * Tp + T, 0, (size_t)(Tp - T));
+  const Py_ssize_t BT = 64;  // transpose block: r-outer/t-inner below
   int nt = nthreads_for(T);
   std::atomic<Py_ssize_t> next(0);
   auto work = [&]() {
     Py_ssize_t t0;
+    uint8_t dloc[BT];
+    long tlen[BT];
     while ((t0 = next.fetch_add(BT)) < T) {
       Py_ssize_t t1 = t0 + BT < T ? t0 + BT : T;
-      for (Py_ssize_t t = t0; t < t1; t++) {
-        const uint8_t *row = in + t * rowb;
-        const uint8_t *mv = row + tile / 2;
-        long tlen = (long)mv[4] | ((long)mv[5] << 8);
-        uint8_t d = 0;
-        for (Py_ssize_t r = 0; r < tile / 4; r++) {
-          // tile cols 4r..4r+3 = nibbles of bytes 2r, 2r+1
-          uint8_t b0 = row[2 * r], b1 = row[2 * r + 1];
-          uint8_t c0 = b0 >> 4, c1 = b0 & 0xF, c2 = b1 >> 4, c3 = b1 & 0xF;
-          long j = 4 * (long)r;
-          d |= (uint8_t)((c0 >= 4 && j < tlen) | (c1 >= 4 && j + 1 < tlen) |
-                         (c2 >= 4 && j + 2 < tlen) | (c3 >= 4 && j + 3 < tlen));
-          c0 = c0 > 3 ? 3 : c0; c1 = c1 > 3 ? 3 : c1;
-          c2 = c2 > 3 ? 3 : c2; c3 = c3 > 3 ? 3 : c3;
-          out[r * Tp + t] =
-              (uint8_t)(c0 | (c1 << 2) | (c2 << 4) | (c3 << 6));
-        }
-        for (Py_ssize_t r = 0; r < 16; r++)
-          out[(tile / 4 + r) * Tp + t] = mv[r];
-        dirty[t] = d;
+      Py_ssize_t bn = t1 - t0;
+      for (Py_ssize_t b = 0; b < bn; b++) {
+        const uint8_t *mv = in + (t0 + b) * rowb + tile / 2;
+        tlen[b] = (long)mv[4] | ((long)mv[5] << 8);
+        dloc[b] = 0;
       }
+      // r outer / t inner: the writes out[r*Tp + t0 .. t0+bn) are one
+      // cache line per r (the former t-outer order wrote at stride Tp —
+      // 256 distinct lines per tile, the whole pass was miss-bound).
+      // P2LO/P2HI/D2LO/D2HI: byte -> packed-2bit / nibble>=4 LUTs.
+      for (Py_ssize_t r = 0; r < tile / 4; r++) {
+        uint8_t *orow = out + r * Tp + t0;
+        const uint8_t *irow = in + t0 * rowb + 2 * r;
+        long j = 4 * (long)r;
+        for (Py_ssize_t b = 0; b < bn; b++) {
+          uint8_t b0 = irow[b * rowb], b1 = irow[b * rowb + 1];
+          long tl = tlen[b];
+          uint8_t dm = (uint8_t)(D2LO[b0] | D2HI[b1]);
+          if (dm && j + 3 >= tl)  // mask dirty nibbles at/past tlen
+            dm &= (uint8_t)((j < tl) | ((j + 1 < tl) << 1) |
+                            ((j + 2 < tl) << 2) | ((j + 3 < tl) << 3));
+          dloc[b] |= dm;
+          orow[b] = (uint8_t)(P2LO[b0] | P2HI[b1]);
+        }
+      }
+      for (Py_ssize_t r = 0; r < 16; r++) {
+        uint8_t *orow = out + (tile / 4 + r) * Tp + t0;
+        for (Py_ssize_t b = 0; b < bn; b++)
+          orow[b] = in[(t0 + b) * rowb + tile / 2 + r];
+      }
+      for (Py_ssize_t b = 0; b < bn; b++) dirty[t0 + b] = dloc[b] ? 1 : 0;
     }
   };
   std::vector<std::thread> th;

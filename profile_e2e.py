@@ -38,6 +38,9 @@ def main(n_reads=32_768, use_cprofile=False):
         setattr(obj, name, f)
 
     wrap(sf.ScanFastqPipeline, "pass2_emit", "emit (native records+stats)")
+    wrap(sf.ScanFastqPipeline, "_emit_records", "emit: native+marshal only")
+    wrap(readscan, "build_tiles", "tiles: build (native)")
+    wrap(readscan, "tiles_to_2bit_tm", "tiles: 2bit convert (native)")
     wrap(readscan.ReadScanModel, "scan_pass1_async", "pass1 dispatch")
     wrap(readscan.ReadScanModel, "finish_pass1", "pass1 finish (d2h+host)")
     wrap(readscan.ReadScanModel, "scan_search_async",

@@ -931,6 +931,80 @@ def make_pass1_body2(cfg: PipelineConfig):
     return fn
 
 
+P1F_META_ROWS = (eg2.ROW_PS, eg2.ROW_PE, eg2.ROW_AE, eg2.ROW_TSO_END)
+P1F_ROW_NAMES = ("flags", "ps", "pe", "ae", "tso_end", "kmer_lo", "kmer_hi")
+
+
+def make_pass1_full_body(cfg: PipelineConfig):
+    """Pass-1 'full' body for the cached two-pass pipeline: ONE edge scan
+    emits both the pass-1 rows (used-list building) and everything pass 2
+    needs except the whitelist sweep — finalized-able meta rows plus the
+    BC search windows (packed 2 chars per int16 lane). Pass 2 then runs
+    the sweep ALONE on the cached windows: no second fastq parse, no
+    re-encode, no second edge scan, and the pass-2 upload drops from the
+    full 2-bit composite (~160 B/read) to the windows (~22 B/read) —
+    the reference scans the fastq twice end-to-end instead
+    (/root/reference/README.md:88-110 two-pass NanoporeBC_UMI_finder)."""
+    body = eg2.make_edge_scan2_packed(cfg)
+    bw = eg2.bc_window_width(cfg)
+
+    def fn(packed_tm, peq_ad, peq_adc, peq_tso):
+        meta = body(packed_tm, peq_ad, peq_adc, peq_tso)
+        flags = (meta[eg2.ROW_IS_FWD]
+                 | (meta[eg2.ROW_STRANDED] << 1)
+                 | (meta[eg2.ROW_HAS_POLYAT] << 2)
+                 | (meta[eg2.ROW_KMER_VALID] << 3)
+                 | (jnp.clip(meta[eg2.ROW_AD_RUN], 0, 63) << 4))
+        wins = meta[eg2.ROW_BC0:eg2.ROW_BC0 + bw]             # [bw, S] i32
+        if bw % 2:
+            wins = jnp.concatenate([wins, jnp.zeros_like(wins[:1])], 0)
+        wpack = wins[0::2] | (wins[1::2] << 8)   # codes <= 5: 2 per lane
+        rows16 = jnp.stack(
+            [flags]
+            + [jnp.clip(meta[r], -I16_BIG, I16_BIG) for r in P1F_META_ROWS]
+            + [meta[eg2.ROW_KMER_LO], meta[eg2.ROW_KMER_HI]], axis=0)
+        return jnp.concatenate([rows16, wpack], axis=0).astype(jnp.int16)
+
+    return fn
+
+
+def make_sweep_only_body(cfg: PipelineConfig, mode: str, radius: int = 2,
+                         K: int = 64, bt: int = 256, nt: int = 1024):
+    """Whitelist search alone over uploaded BC windows (u8 [bw, S]) — the
+    cached pipeline's pass-2 device step (the edge scan already ran in
+    pass 1). Same three search modes and row semantics as
+    make_scan_search2_body; returns i32 [4, S]: best_ed, best_idx,
+    second_ed, overflow."""
+    from sicelore_tpu.ops import bcsearch
+
+    m = cfg.barcodes.cell_bc_length
+
+    def fn(wins_u8, peq_bc, nvalid, qgram_t):
+        wins_tm = wins_u8.astype(jnp.int32)
+        if mode == "pallas":
+            best = bcsearch._bc_sweep_tm(wins_tm, peq_bc, nvalid, m,
+                                         bt=bt, nt=nt, track_pos=False)
+            overflow = jnp.zeros_like(best[0])
+        elif mode == "prefilter":
+            res = bcsearch.qgram_prefilter_search(
+                jnp.transpose(wins_tm).astype(jnp.int8), qgram_t, peq_bc,
+                nvalid, m, radius, K)
+            best, overflow = res[:4], res[4]
+        else:
+            N = peq_bc.shape[1]
+            ed, pos = editdist.myers_sweep(
+                jnp.transpose(wins_tm).astype(jnp.int8), peq_bc, m)
+            gidx = jnp.arange(N, dtype=jnp.int32)[None, :]
+            ed = jnp.where(gidx < nvalid[0], ed, bcsearch.BIG)
+            b1, i1, b2, _ = editdist.best_two(ed)
+            best = jnp.stack([b1, i1, b2, b1], axis=0)
+            overflow = jnp.zeros_like(b1)
+        return jnp.stack([best[0], best[1], best[2], overflow],
+                         axis=0).astype(jnp.int32)
+
+    return fn
+
+
 def make_mega2(inner, n_extra: int):
     """Span dispatcher over [C, PACK_ROWS, S] slice stacks; returns
     [rows, C*S]. On TPU the whole span runs as ONE flat inner call (the
@@ -1252,6 +1326,118 @@ class ReadScanModel:
                 if k in out and out[k].ndim == 1:
                     out[k][idxs] = v
         return out
+
+    # -- pass-1 FULL variant + sweep-only pass-2 (cached pipeline) -------
+
+    def scan_pass1_full_async(self, seqs: list[bytes], quals: list[bytes]):
+        """Dispatch the pass-1 FULL scan (edge meta + BC windows, see
+        make_pass1_full_body); force with finish_pass1_full."""
+        if not hasattr(self, "_pass1_full_mega"):
+            inner = make_pass1_full_body(self.cfg)
+            if self.mesh is not None:
+                self._pass1_full_mega = make_sharded2(inner, self.mesh, 3,
+                                                      self.data_axis)
+            else:
+                from sicelore_tpu.utils import aotcache
+                self._pass1_full_mega = aotcache.wrap(
+                    "pass1full_mega", self._cfg_key(), make_mega2(inner, 3))
+        packed_tm, qv2, true_lens, dirty, qsum = eg2.encode_composite_tm(
+            seqs, quals)
+        B = len(seqs)
+        if dirty.any():
+            packed_tm[eg2.TEXT_ROWS:, dirty] = 0   # length 0: inert
+        arr3, spans = self._stack3(packed_tm, B)
+        parts = [self._pass1_full_mega(jnp.asarray(arr3[c0:c0 + take]),
+                                       self.peq_ad, self.peq_adc,
+                                       self.peq_tso)
+                 for c0, take in spans]
+        _prefetch(parts)
+        return parts, qv2, true_lens, dirty, seqs, quals, B, qsum
+
+    def finish_pass1_full(self, handles):
+        """-> (out dict — superset of finish_pass1's, with finalized
+        ps/pe/ae/tso/x windows and all three QV means — and the BC search
+        windows as u8 [bw, B] for the pass-2 sweep)."""
+        parts, qv2, true_lens, dirty, seqs, quals, B, qsum = handles
+        arr = np.concatenate([np.asarray(h) for h in parts],
+                             axis=1)[:, :B]
+        nf = len(P1F_ROW_NAMES)
+        out = finalize_rows_np(arr[:nf], P1F_ROW_NAMES, true_lens,
+                               self.cfg)
+        eg2.compute_qvs2_np(qv2, true_lens, out,
+                            self.cfg.barcodes.cell_bc_length, self.is5p,
+                            qsum)
+        bw = self.bc_window_width
+        wrows = arr[nf:].astype(np.int32) & 0xFFFF
+        wins = np.empty((wrows.shape[0] * 2, B), np.uint8)
+        wins[0::2] = (wrows & 0xFF).astype(np.uint8)
+        wins[1::2] = (wrows >> 8).astype(np.uint8)
+        wins = wins[:bw]
+        if dirty.any():
+            idxs = np.nonzero(dirty)[0]
+            sub, _ = self._scan2_sync([seqs[i] for i in idxs],
+                                      [quals[i] for i in idxs], False)
+            for k, v in sub.items():
+                if k in out and out[k].ndim == 1:
+                    out[k][idxs] = v
+            wins[:, idxs] = np.clip(sub["bc_windows"], 0, 255
+                                    ).astype(np.uint8).T
+        return out, wins
+
+    def bc_sweep_async(self, windows_tm: np.ndarray):
+        """Dispatch the whitelist search alone on cached pass-1 BC windows
+        (u8 [bw, B]); force with finish_bc_sweep. Requires
+        prepare_search."""
+        if not hasattr(self, "_sweep_only_fn"):
+            fn = make_sweep_only_body(self.cfg, self._mode, self._radius)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+                sh = NamedSharding(self.mesh, P(None, self.data_axis))
+                rep = NamedSharding(self.mesh, P())
+                self._sweep_only_fn = jax.jit(
+                    fn, in_shardings=(sh, rep, rep, rep))
+            else:
+                from sicelore_tpu.utils import aotcache
+                self._sweep_only_fn = aotcache.wrap(
+                    "sweep_only",
+                    f"{self._mode}|{self._radius}|{self._cfg_key()}", fn)
+        B = windows_tm.shape[1]
+        Bp = bucket_length(max(B, 1), 2048 * self._gran)
+        w = windows_tm
+        if Bp != B:
+            w = np.zeros((windows_tm.shape[0], Bp), np.uint8)
+            w[:, :B] = windows_tm
+        h = self._sweep_only_fn(jnp.asarray(w), self._peq_bc, self._nvalid,
+                                self._qgram_t)
+        _prefetch([h])
+        return h, windows_tm, B
+
+    def finish_bc_sweep(self, handle):
+        """-> bc dict {ed, idx, ed2} with the same not-found/overflow
+        semantics as finish_search's fused rows."""
+        from sicelore_tpu.ops import bcsearch
+        h, wins, B = handle
+        arr = np.asarray(h)[:, :B].astype(np.int64)
+        ed = np.where(arr[0] >= I16_BIG, bcsearch_BIG_MIN, arr[0])
+        ed2 = np.where(arr[2] >= I16_BIG, editdist.INT_MAX, arr[2])
+        bc = {"ed": ed, "idx": arr[1], "ed2": ed2}
+        redo = arr[3] != 0
+        if redo.any():
+            idxs = np.nonzero(redo)[0]
+            sub = bcsearch.bc_search(
+                wins[:, idxs].T.astype(np.int32), self._peq_raw,
+                self._n_valid, self.cfg.barcodes.cell_bc_length)
+            if self._mode == "prefilter":
+                r = self._radius
+                sub["ed2"] = np.where(sub["ed2"] > r, editdist.INT_MAX,
+                                      sub["ed2"])
+                over = sub["ed"] > r
+                sub["ed"] = np.where(over, bcsearch_BIG_MIN, sub["ed"])
+                sub["idx"] = np.where(over, bcsearch_BIG_MIN, sub["idx"])
+            for k in bc:
+                bc[k][idxs] = sub[k]
+        return bc
 
     # device dispatch slice: chunks are cut into fixed SLICE-read batches
     # so the whole pipeline only ever compiles a handful of shapes

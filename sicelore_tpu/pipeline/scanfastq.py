@@ -95,7 +95,9 @@ class ScanFastqPipeline:
                  known_cells: bool = False,
                  compress: bool = False,
                  mesh=None,
-                 model: "readscan.ReadScanModel | None" = None):
+                 model: "readscan.ReadScanModel | None" = None,
+                 cache_pass1: bool | None = None,
+                 cache_budget_bytes: int = 4 << 30):
         """`mesh`: a jax.sharding.Mesh with a "data" axis — both scan
         passes run sharded over it (multi-chip pipeline mode); outputs are
         identical to single-chip (tests/test_multichip_pipeline.py).
@@ -146,6 +148,14 @@ class ScanFastqPipeline:
         self.ranks: np.ndarray | None = None
         # pass-2 per-barcode assignment histograms {bc_idx: [n_ed0, n_ed1, ...]}
         self.assigned_hist: dict[int, np.ndarray] = {}
+        # pass-1 result cache (auto when the input fits cache_budget_bytes):
+        # pass 1 runs the FULL edge scan (meta + BC windows) once, pass 2
+        # dispatches the whitelist sweep alone on the cached windows —
+        # no second fastq parse/encode/edge-scan. Inputs beyond the budget
+        # stream through the classic two-pass path unchanged.
+        self.cache_pass1 = cache_pass1
+        self.cache_budget_bytes = cache_budget_bytes
+        self._p1_cache: list[tuple] = []   # (chunk, out, windows_tm)
 
     # ------------------------------------------------------------------
     # PASS 1
@@ -153,6 +163,85 @@ class ScanFastqPipeline:
 
     def pass1_chunk(self, chunk: fastq.FastqChunk):
         self._pass1_apply(self.model.scan_pass1(chunk.seqs, chunk.quals))
+
+    def _cache_decision(self, files) -> bool:
+        """Pass-1 cache policy: explicit cache_pass1 wins; auto enables it
+        when the estimated in-memory footprint (raw fastq bytes, gz at a
+        ~3x expansion estimate) fits cache_budget_bytes. Random-BC runs
+        always stream (they bypass the fused path)."""
+        if self.random_barcode or self.known_cells:
+            return False
+        if self.cache_pass1 is not None:
+            return bool(self.cache_pass1)
+        try:
+            est = sum(f.stat().st_size * (3 if str(f).endswith(".gz") else 1)
+                      for f in files)
+        except OSError:
+            return False
+        return est * 2 <= self.cache_budget_bytes
+
+    def _pass1_apply_cached(self, pending):
+        """Force one FULL pass-1 chunk: count exact matches for the used
+        list AND store the chunk's pass-2 inputs (finalized edge meta +
+        BC search windows)."""
+        chunk, f, h = pending
+        out, wins = self.model.finish_pass1_full(h)
+        self._pass1_apply(out)
+        self._p1_cache.append((f, chunk, out, wins))
+
+    def _run_pass2_cached(self, out_dir, ext):
+        """Pass 2 over the pass-1 cache: per chunk, dispatch the tiled
+        chimera scan + the sweep-only whitelist search (double-buffered),
+        then emit from the CACHED edge meta — output-identical to the
+        streaming path (tests/test_scanfastq.py::test_cached_pipeline_*)."""
+        cur_f, pw, fw = None, None, None
+        pending = None
+        try:
+            for f, chunk, out, wins in self._p1_cache:
+                if f != cur_f:
+                    if pending is not None:
+                        self._finish_chunk_cached(*pending, pw, fw)
+                        pending = None
+                    if pw is not None:
+                        pw.close(wait=False)
+                        fw.close(wait=False)
+                    stem = f.name
+                    for suf in (".gz", ".fastq", ".fq"):
+                        stem = stem[:-len(suf)] if stem.endswith(suf) \
+                            else stem
+                    pw = fastq.FastqWriter(
+                        out_dir / "passed" / f"{stem}FWD{ext}")
+                    fw = fastq.FastqWriter(
+                        out_dir / "failed" / f"{stem}FAILED{ext}")
+                    cur_f = f
+                self.stats.total_reads += len(chunk)
+                th = self.model.internal_tiles_async(chunk.seqs)
+                sh = self.model.bc_sweep_async(wins)
+                if pending is not None:
+                    self._finish_chunk_cached(*pending, pw, fw)
+                pending = (chunk, out, th, sh)
+            if pending is not None:
+                self._finish_chunk_cached(*pending, pw, fw)
+        finally:
+            self._p1_cache.clear()
+            if pw is not None:
+                pw.close(wait=False)
+                fw.close(wait=False)
+
+    def _finish_chunk_cached(self, chunk, out, th, sh, pw, fw):
+        """Cached-mode chunk finisher: chimera splits from the tile scan,
+        bc from the sweep-only search, emit from cached pass-1 meta."""
+        splits, discard = self.model.finish_internal_tiles(th)
+        bc = self.model.finish_bc_sweep(sh)
+        self.stats.multi_chimeric_discarded += len(discard)
+        self.stats.split_chimeric += len(splits)
+        skip = discard | set(splits)
+        self.pass2_emit(chunk, out, bc, pw, fw, skip=skip)
+        if splits:
+            sub = self._split_parts_chunk(chunk, splits)
+            s_h = self.model.scan_search_async(sub.seqs, sub.quals)
+            s_out, s_bc = self.model.finish_search(s_h)
+            self.pass2_emit(sub, s_out, s_bc, pw, fw)
 
     def _pass1_apply(self, out: dict):
         r = self.cfg.readscanner
@@ -395,12 +484,21 @@ class ScanFastqPipeline:
         eds_raw = bc_ed[assigned].astype(np.int64)
         for e, c in zip(*np.unique(eds_raw, return_counts=True)):
             self.stats.ed_hist[int(e)] += int(c)
-        # assigned_hist rows are fixed 8-wide; clamp only there (ADVICE r3)
+        # assigned_hist rows are fixed 8-wide; clamp only there (ADVICE r3).
+        # One bincount over bi*8+ed then a loop over the DISTINCT barcodes
+        # of the chunk — the former per-read dict loop was ~0.1 s/102k
+        # reads of the warm e2e.
         eds = np.minimum(eds_raw, 7)
-        for bi, e in zip(bc_idx[assigned].astype(np.int64), eds):
-            hist = self.assigned_hist.setdefault(
-                int(bi), np.zeros(8, dtype=np.int64))
-            hist[e] += 1
+        bis = bc_idx[assigned].astype(np.int64)
+        if len(bis):
+            keys = np.bincount(bis * 8 + eds)
+            hot = np.nonzero(keys)[0]
+            for bi_u in np.unique(hot >> 3):
+                hist = self.assigned_hist.setdefault(
+                    int(bi_u), np.zeros(8, dtype=np.int64))
+                lo = int(bi_u) * 8
+                row = keys[lo:lo + 8]
+                hist[:len(row)] += row
 
         is5p = self.cfg.chemistry == "5p"
         ae = out["ae"].astype(np.int64)
@@ -518,8 +616,27 @@ class ScanFastqPipeline:
             files = multihost.shard_files(files)
         # PASS 1 (skipped when a known cell-BC list was provided, reference
         # -g/--cellRangerBCs behavior)
+        caching = self._cache_decision(files)
         if self.known_cells:
             self.use_fixed_list()
+        elif caching:
+            # FULL pass-1 (edge meta + BC windows cached per chunk): the
+            # device scans chunk i+1 while the host counts chunk i's exact
+            # matches and stores its pass-2 inputs
+            p1_pending = None
+            for f in files:
+                for chunk in fastq.read_fastq(f, self.chunk_size):
+                    h = self.model.scan_pass1_full_async(chunk.seqs,
+                                                         chunk.quals)
+                    if p1_pending is not None:
+                        self._pass1_apply_cached(p1_pending)
+                    p1_pending = (chunk, f, h)
+            if p1_pending is not None:
+                self._pass1_apply_cached(p1_pending)
+            self.wl_counts = multihost.allreduce_counts(self.wl_counts)
+            self.build_used_list()
+            if jax.process_index() == 0:
+                self.write_barcode_list(out_dir / "BarcodeList.tsv")
         else:
             # double-buffered: the device scans chunk i+1 while the host
             # counts chunk i's exact matches
@@ -544,32 +661,38 @@ class ScanFastqPipeline:
         if use_fused:
             self.model.prepare_search(self.used_pats, len(self.used_strs),
                                       radius=self.max_ed())
-        for f in files:
-            stem = f.name
-            for suf in (".gz", ".fastq", ".fq"):
-                stem = stem[:-len(suf)] if stem.endswith(suf) else stem
-            pw = fastq.FastqWriter(out_dir / "passed" / f"{stem}FWD{ext}")
-            fw = fastq.FastqWriter(out_dir / "failed" / f"{stem}FAILED{ext}")
-            try:
-                if not use_fused:
+        if caching and use_fused and not self.known_cells:
+            self._run_pass2_cached(out_dir, ext)
+        else:
+            for f in files:
+                stem = f.name
+                for suf in (".gz", ".fastq", ".fq"):
+                    stem = stem[:-len(suf)] if stem.endswith(suf) else stem
+                pw = fastq.FastqWriter(out_dir / "passed" / f"{stem}FWD{ext}")
+                fw = fastq.FastqWriter(out_dir / "failed"
+                                       / f"{stem}FAILED{ext}")
+                try:
+                    if not use_fused:
+                        for chunk in fastq.read_fastq(f, self.chunk_size):
+                            self.pass2_chunk(chunk, pw, fw)
+                        continue
+                    pending = None
                     for chunk in fastq.read_fastq(f, self.chunk_size):
-                        self.pass2_chunk(chunk, pw, fw)
-                    continue
-                pending = None
-                for chunk in fastq.read_fastq(f, self.chunk_size):
-                    self.stats.total_reads += len(chunk)
-                    th = self.model.internal_tiles_async(chunk.seqs)
-                    sh = self.model.scan_search_async(chunk.seqs,
-                                                      chunk.quals)
+                        self.stats.total_reads += len(chunk)
+                        th = self.model.internal_tiles_async(chunk.seqs)
+                        sh = self.model.scan_search_async(chunk.seqs,
+                                                          chunk.quals)
+                        if pending is not None:
+                            self._finish_chunk(*pending, pw, fw)
+                        pending = (chunk, th, sh)
                     if pending is not None:
                         self._finish_chunk(*pending, pw, fw)
-                    pending = (chunk, th, sh)
-                if pending is not None:
-                    self._finish_chunk(*pending, pw, fw)
-            finally:
-                # async close: disk writes overlap the next file's compute
-                pw.close(wait=False)
-                fw.close(wait=False)
+                finally:
+                    # async close: disk writes overlap the next file's
+                    # compute
+                    pw.close(wait=False)
+                    fw.close(wait=False)
+            self._p1_cache.clear()   # unused when use_fused fell through
         fastq.writer_barrier()
         if nproc > 1:
             self._merge_multihost()

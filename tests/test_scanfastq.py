@@ -163,3 +163,26 @@ def test_native_emit_matches_python(tmp_path):
     assert p1.buf == p2.buf
     assert f1.buf == f2.buf
     assert p1.buf.count(b"\n") % 4 == 0 and len(p1.buf) > 0
+
+
+def test_cached_pipeline_matches_streaming(run_dir, tmp_path):
+    """The pass-1 cache (FULL pass-1 + sweep-only pass-2) must be
+    output-identical to the classic streaming two-pass path."""
+    d, wl, cells, truth = run_dir
+    results = {}
+    for cached in (True, False):
+        out = tmp_path / f"out_c{int(cached)}"
+        pipe = ScanFastqPipeline(PipelineConfig(), whitelist=wl,
+                                 user_max_ed=2, chunk_size=200,
+                                 cache_pass1=cached)
+        stats = pipe.run([d], out)
+        blobs = {}
+        for sub in ("passed", "failed"):
+            for f in sorted((out / sub).iterdir()):
+                blobs[f"{sub}/{f.name}"] = f.read_bytes()
+        blobs["assigned"] = (out / "BarcodesAssigned.tsv").read_bytes()
+        blobs["stats"] = json.dumps(stats.to_json(), sort_keys=True)
+        results[cached] = blobs
+    assert set(results[True]) == set(results[False])
+    for k in results[True]:
+        assert results[True][k] == results[False][k], f"{k} differs"
