@@ -292,9 +292,14 @@ struct Bufs {
 };
 
 inline void append_int(std::string &o, long v) {
+  // manual itoa: ~4x snprintf("%ld") — ~10 calls/record make this the
+  // second-hottest op of the emit loop after the seq copies
   char tmp[24];
-  int n = snprintf(tmp, sizeof tmp, "%ld", v);
-  o.append(tmp, n);
+  char *p = tmp + 24;
+  unsigned long u = v < 0 ? 0UL - (unsigned long)v : (unsigned long)v;
+  do { *--p = (char)('0' + (u % 10)); u /= 10; } while (u);
+  if (v < 0) *--p = '-';
+  o.append(p, (size_t)(tmp + 24 - p));
 }
 
 // emit_records(names, comments, seqs, quals: list[bytes],

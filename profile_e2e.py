@@ -48,6 +48,10 @@ def main(n_reads=32_768, use_cprofile=False):
     wrap(readscan.ReadScanModel, "finish_search", "pass2 finish (d2h+host)")
     wrap(readscan.ReadScanModel, "internal_tiles_async", "tiles dispatch")
     wrap(readscan.ReadScanModel, "finish_internal_tiles", "tiles finish")
+    wrap(readscan.ReadScanModel, "scan_pass1_full_async", "pass1F dispatch")
+    wrap(readscan.ReadScanModel, "finish_pass1_full", "pass1F finish")
+    wrap(readscan.ReadScanModel, "bc_sweep_async", "sweep dispatch")
+    wrap(readscan.ReadScanModel, "finish_bc_sweep", "sweep finish")
 
     rng = np.random.default_rng(2)
     wl_cells = synth.make_whitelist(rng, 384)

@@ -935,7 +935,7 @@ P1F_META_ROWS = (eg2.ROW_PS, eg2.ROW_PE, eg2.ROW_AE, eg2.ROW_TSO_END)
 P1F_ROW_NAMES = ("flags", "ps", "pe", "ae", "tso_end", "kmer_lo", "kmer_hi")
 
 
-def make_pass1_full_body(cfg: PipelineConfig):
+def make_pass1_full_body(cfg: PipelineConfig, fused_tiles: bool = False):
     """Pass-1 'full' body for the cached two-pass pipeline: ONE edge scan
     emits both the pass-1 rows (used-list building) and everything pass 2
     needs except the whitelist sweep — finalized-able meta rows plus the
@@ -947,6 +947,10 @@ def make_pass1_full_body(cfg: PipelineConfig):
     (/root/reference/README.md:88-110 two-pass NanoporeBC_UMI_finder)."""
     body = eg2.make_edge_scan2_packed(cfg)
     bw = eg2.bc_window_width(cfg)
+    tile_fn = None
+    if fused_tiles:
+        from sicelore_tpu.ops import tilescan_tpu
+        tile_fn = tilescan_tpu.make_composite_tile_fn(cfg)
 
     def fn(packed_tm, peq_ad, peq_adc, peq_tso):
         meta = body(packed_tm, peq_ad, peq_adc, peq_tso)
@@ -963,7 +967,12 @@ def make_pass1_full_body(cfg: PipelineConfig):
             [flags]
             + [jnp.clip(meta[r], -I16_BIG, I16_BIG) for r in P1F_META_ROWS]
             + [meta[eg2.ROW_KMER_LO], meta[eg2.ROW_KMER_HI]], axis=0)
-        return jnp.concatenate([rows16, wpack], axis=0).astype(jnp.int16)
+        out = [rows16, wpack.astype(jnp.int16)]
+        if tile_fn is not None:
+            # short-read internal/chimera scan from the SAME upload (3
+            # rows: n, s0, s1; long/dirty reads ride the host tile path)
+            out.append(tile_fn(packed_tm))
+        return jnp.concatenate([r.astype(jnp.int16) for r in out], axis=0)
 
     return fn
 
@@ -1333,14 +1342,22 @@ class ReadScanModel:
         """Dispatch the pass-1 FULL scan (edge meta + BC windows, see
         make_pass1_full_body); force with finish_pass1_full."""
         if not hasattr(self, "_pass1_full_mega"):
-            inner = make_pass1_full_body(self.cfg)
+            try:
+                on_tpu = jax.devices()[0].platform == "tpu"
+            except Exception:
+                on_tpu = False
+            self._p1f_tiles = on_tpu and self.mesh is None
+            inner = make_pass1_full_body(self.cfg,
+                                         fused_tiles=self._p1f_tiles)
             if self.mesh is not None:
                 self._pass1_full_mega = make_sharded2(inner, self.mesh, 3,
                                                       self.data_axis)
             else:
                 from sicelore_tpu.utils import aotcache
                 self._pass1_full_mega = aotcache.wrap(
-                    "pass1full_mega", self._cfg_key(), make_mega2(inner, 3))
+                    "pass1full_mega",
+                    f"{int(self._p1f_tiles)}|{self._cfg_key()}",
+                    make_mega2(inner, 3))
         packed_tm, qv2, true_lens, dirty, qsum = eg2.encode_composite_tm(
             seqs, quals)
         B = len(seqs)
@@ -1356,11 +1373,16 @@ class ReadScanModel:
 
     def finish_pass1_full(self, handles):
         """-> (out dict — superset of finish_pass1's, with finalized
-        ps/pe/ae/tso/x windows and all three QV means — and the BC search
-        windows as u8 [bw, B] for the pass-2 sweep)."""
+        ps/pe/ae/tso/x windows and all three QV means — the BC search
+        windows as u8 [bw, B] for the pass-2 sweep, and the fused
+        short-read tile rows [3, B] i16 or None)."""
         parts, qv2, true_lens, dirty, seqs, quals, B, qsum = handles
         arr = np.concatenate([np.asarray(h) for h in parts],
                              axis=1)[:, :B]
+        tiles3 = None
+        if getattr(self, "_p1f_tiles", False):
+            tiles3 = arr[-3:].astype(np.int32)
+            arr = arr[:-3]
         nf = len(P1F_ROW_NAMES)
         out = finalize_rows_np(arr[:nf], P1F_ROW_NAMES, true_lens,
                                self.cfg)
@@ -1382,7 +1404,47 @@ class ReadScanModel:
                     out[k][idxs] = v
             wins[:, idxs] = np.clip(sub["bc_windows"], 0, 255
                                     ).astype(np.uint8).T
-        return out, wins
+        return out, wins, tiles3
+
+    def tiles_fused_mask(self, true_lens, dirty):
+        """Reads whose internal scan the fused pass-1 already covered
+        (short, clean); the complement with an interior still needs the
+        host tile path."""
+        p = self.cfg.polyat
+        min_len = 2 * p.window_search_for_polya + p.internal_pat_length
+        L = np.asarray(true_lens).astype(np.int64)
+        has_interior = L > min_len
+        covered = has_interior & (L <= 2 * eg2.E) & ~np.asarray(dirty)
+        return covered, has_interior & ~covered
+
+    def finish_tiles_merged(self, tiles3, covered, sub_handle, need_idx):
+        """Merge fused short-read tile rows with the host tile scan of the
+        long/dirty residue -> (splits, discard) with finish_internal_tiles
+        semantics."""
+        n, s0, s1 = tiles3
+        per_read: dict[int, set] = {}
+        for r in np.nonzero((n > 0) & covered)[0]:
+            ps = per_read.setdefault(int(r), set())
+            if n[r] >= 1 and s0[r] >= 0:
+                ps.add(int(s0[r]))
+            if n[r] >= 2 and s1[r] >= 0:
+                ps.add(int(s1[r]))
+            if n[r] > 2:
+                ps.add(-1)
+        splits: dict[int, list[int]] = {}
+        discard: set[int] = set()
+        for r, ps in per_read.items():
+            if -1 in ps or len(ps) > 1:
+                discard.add(r)
+            elif len(ps) == 1:
+                splits[r] = sorted(ps)
+        if sub_handle is not None:
+            sub_splits, sub_discard = self.finish_internal_tiles(sub_handle)
+            for si, pos in sub_splits.items():
+                splits[int(need_idx[si])] = pos
+            for si in sub_discard:
+                discard.add(int(need_idx[si]))
+        return splits, discard
 
     def bc_sweep_async(self, windows_tm: np.ndarray):
         """Dispatch the whitelist search alone on cached pass-1 BC windows

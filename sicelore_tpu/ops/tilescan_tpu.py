@@ -236,6 +236,63 @@ def _tile_kernel(peq_ref, packed_ref, out_ref, T, *, k: int, mc: int,
     out_ref[2] = s1
 
 
+def make_composite_tile_fn(cfg: PipelineConfig, interpret: bool = False):
+    """Internal/chimera scan for SHORT reads straight from the pass-1
+    composite — zero extra upload.
+
+    A read with true_len <= 2E sits CONTIGUOUSLY in the two-half composite
+    (head s[:E] + right-aligned tail s[-E:]), so its whole interior is
+    already on device when pass 1 dispatches. fn(packed_tm
+    [eg.PACK_ROWS, S] u8) -> [3, S] i16 with the tile kernel's (n, s0, s1)
+    contract at g0 = 0; reads outside (min_len, 2E] report n = 0 and ride
+    the host tile path. The tail alignment shift (2E - n) is applied with
+    log-step rolls (9 static slices, no gather); rolled-in wrap rows land
+    at j >= tlen and are masked by the kernel."""
+    from sicelore_tpu.ops import edgescan as eg
+
+    p = cfg.polyat
+    edge = p.window_search_for_polya
+    k = p.internal_pat_length
+    min_len = 2 * edge + k
+    E, E2 = eg.E, 2 * eg.E
+    kfn = make_tile_scan_kernel(cfg, interpret)
+
+    def fn(packed_tm):
+        S = packed_tm.shape[1]
+        b = packed_tm[:eg.TEXT_ROWS].astype(jnp.int32)
+        lenb = packed_tm[eg.TEXT_ROWS:eg.TEXT_ROWS + 4].astype(jnp.int32)
+        L = lenb[0] | (lenb[1] << 8) | (lenb[2] << 16) | (lenb[3] << 24)
+        # composite bytes pack big-endian pairs (c0<<6|c1<<4|c2<<2|c3)
+        codes = jnp.stack(
+            [(b >> 6) & 3, (b >> 4) & 3, (b >> 2) & 3, b & 3],
+            axis=1).reshape(E2, S)
+        head, tail = codes[:E], codes[E:]
+        sh = jnp.clip(E2 - L, 0, E)                     # tail shift
+        for bit in range(9):                            # shifts <= 304
+            step = 1 << bit
+            rolled = jnp.concatenate([tail[step:], tail[:step]], axis=0)
+            tail = jnp.where(((sh >> bit) & 1)[None, :] != 0, rolled, tail)
+        tile = jnp.concatenate(
+            [head, tail, jnp.full((TILE - E2, S), 3, codes.dtype)], axis=0)
+        short = (L > min_len) & (L <= E2)
+        tlen = jnp.where(short, L, 0)
+        own_lo = jnp.where(short, edge, 0)
+        own_hi = jnp.where(short, jnp.maximum(L - edge - k + 1, 0), 0)
+        # tile-kernel little-endian 2-bit rows + 16 meta byte rows
+        packed = (tile[0::4] | (tile[1::4] << 2) | (tile[2::4] << 4)
+                  | (tile[3::4] << 6)).astype(jnp.uint8)
+        z = jnp.zeros((S,), jnp.int32)
+        meta = jnp.stack([
+            own_lo & 0xFF, own_lo >> 8, own_hi & 0xFF, own_hi >> 8,
+            tlen & 0xFF, tlen >> 8, z, z,
+            z, z, z, z,                                  # g0 = 0
+            L & 0xFF, (L >> 8) & 0xFF, (L >> 16) & 0xFF, L >> 24,
+        ], axis=0).astype(jnp.uint8)
+        return kfn(jnp.concatenate([packed, meta], axis=0))
+
+    return fn
+
+
 def make_tile_scan_kernel(cfg: PipelineConfig, interpret: bool = False):
     """fn(rows_tm [PACK_ROWS, T] u8) -> [3, T] i32 (n, split0, split1 per
     tile row); T a multiple of 1024. Same contract as lax.map over the jnp

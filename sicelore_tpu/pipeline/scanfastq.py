@@ -185,9 +185,9 @@ class ScanFastqPipeline:
         list AND store the chunk's pass-2 inputs (finalized edge meta +
         BC search windows)."""
         chunk, f, h = pending
-        out, wins = self.model.finish_pass1_full(h)
+        out, wins, tiles3 = self.model.finish_pass1_full(h)
         self._pass1_apply(out)
-        self._p1_cache.append((f, chunk, out, wins))
+        self._p1_cache.append((f, chunk, out, wins, tiles3, h[3]))
 
     def _run_pass2_cached(self, out_dir, ext):
         """Pass 2 over the pass-1 cache: per chunk, dispatch the tiled
@@ -197,7 +197,7 @@ class ScanFastqPipeline:
         cur_f, pw, fw = None, None, None
         pending = None
         try:
-            for f, chunk, out, wins in self._p1_cache:
+            for f, chunk, out, wins, tiles3, dirty in self._p1_cache:
                 if f != cur_f:
                     if pending is not None:
                         self._finish_chunk_cached(*pending, pw, fw)
@@ -215,7 +215,18 @@ class ScanFastqPipeline:
                         out_dir / "failed" / f"{stem}FAILED{ext}")
                     cur_f = f
                 self.stats.total_reads += len(chunk)
-                th = self.model.internal_tiles_async(chunk.seqs)
+                if tiles3 is not None:
+                    # fused pass-1 covered the short clean reads; host
+                    # tiles only for the long/dirty residue
+                    covered, need = self.model.tiles_fused_mask(
+                        out["true_lens"], dirty)
+                    need_idx = np.nonzero(need)[0]
+                    th = ("fused", tiles3, covered,
+                          self.model.internal_tiles_async(
+                              [chunk.seqs[i] for i in need_idx])
+                          if len(need_idx) else None, need_idx)
+                else:
+                    th = self.model.internal_tiles_async(chunk.seqs)
                 sh = self.model.bc_sweep_async(wins)
                 if pending is not None:
                     self._finish_chunk_cached(*pending, pw, fw)
@@ -231,7 +242,12 @@ class ScanFastqPipeline:
     def _finish_chunk_cached(self, chunk, out, th, sh, pw, fw):
         """Cached-mode chunk finisher: chimera splits from the tile scan,
         bc from the sweep-only search, emit from cached pass-1 meta."""
-        splits, discard = self.model.finish_internal_tiles(th)
+        if isinstance(th, tuple) and th and th[0] == "fused":
+            _, tiles3, covered, sub_h, need_idx = th
+            splits, discard = self.model.finish_tiles_merged(
+                tiles3, covered, sub_h, need_idx)
+        else:
+            splits, discard = self.model.finish_internal_tiles(th)
         bc = self.model.finish_bc_sweep(sh)
         self.stats.multi_chimeric_discarded += len(discard)
         self.stats.split_chimeric += len(splits)
