@@ -66,8 +66,11 @@ def main(n_reads=32_768, use_cprofile=False):
                 fh.write(b"@r%d\n" % k + seqs[k] + b"\n+\n" + quals[k]
                          + b"\n")
         model = readscan.ReadScanModel()
+        import os as _os
+        _cp = _os.environ.get("PROF_CACHE")
+        _cp = None if _cp is None else _cp == "1"
         ScanFastqPipeline(whitelist=wl, chunk_size=32768,
-                          model=model).run([fq], tmp / "o0")
+                          model=model, cache_pass1=_cp).run([fq], tmp / "o0")
         acc.clear()
         pr = None
         if use_cprofile:
@@ -76,7 +79,7 @@ def main(n_reads=32_768, use_cprofile=False):
             pr.enable()
         t0 = time.time()
         ScanFastqPipeline(whitelist=wl, chunk_size=32768,
-                          model=model).run([fq], tmp / "o1")
+                          model=model, cache_pass1=_cp).run([fq], tmp / "o1")
         wall = time.time() - t0
         if pr is not None:
             pr.disable()

@@ -187,7 +187,20 @@ class ScanFastqPipeline:
         chunk, f, h = pending
         out, wins, tiles3 = self.model.finish_pass1_full(h)
         self._pass1_apply(out)
-        self._p1_cache.append((f, chunk, out, wins, tiles3, h[3]))
+        dirty = h[3]
+        th = None
+        if tiles3 is not None:
+            # dispatch the long/dirty-residue host tile scan NOW: its
+            # upload and kernel ride the pass-1 phase (the device is
+            # h2d-bound there anyway) and pass 2 only forces results
+            covered, need = self.model.tiles_fused_mask(
+                out["true_lens"], dirty)
+            need_idx = np.nonzero(need)[0]
+            th = ("fused", tiles3, covered,
+                  self.model.internal_tiles_async(
+                      [chunk.seqs[i] for i in need_idx])
+                  if len(need_idx) else None, need_idx)
+        self._p1_cache.append((f, chunk, out, wins, th, dirty))
 
     def _run_pass2_cached(self, out_dir, ext):
         """Pass 2 over the pass-1 cache: per chunk, dispatch the tiled
@@ -195,13 +208,16 @@ class ScanFastqPipeline:
         then emit from the CACHED edge meta — output-identical to the
         streaming path (tests/test_scanfastq.py::test_cached_pipeline_*)."""
         cur_f, pw, fw = None, None, None
-        pending = None
+        pending, split_job = None, None
         try:
-            for f, chunk, out, wins, tiles3, dirty in self._p1_cache:
+            for f, chunk, out, wins, th0, dirty in self._p1_cache:
                 if f != cur_f:
                     if pending is not None:
-                        self._finish_chunk_cached(*pending, pw, fw)
+                        split_job = self._drain_cached(pending, split_job,
+                                                       pw, fw)
                         pending = None
+                    self._finish_splits(split_job, pw, fw)
+                    split_job = None
                     if pw is not None:
                         pw.close(wait=False)
                         fw.close(wait=False)
@@ -215,33 +231,34 @@ class ScanFastqPipeline:
                         out_dir / "failed" / f"{stem}FAILED{ext}")
                     cur_f = f
                 self.stats.total_reads += len(chunk)
-                if tiles3 is not None:
-                    # fused pass-1 covered the short clean reads; host
-                    # tiles only for the long/dirty residue
-                    covered, need = self.model.tiles_fused_mask(
-                        out["true_lens"], dirty)
-                    need_idx = np.nonzero(need)[0]
-                    th = ("fused", tiles3, covered,
-                          self.model.internal_tiles_async(
-                              [chunk.seqs[i] for i in need_idx])
-                          if len(need_idx) else None, need_idx)
-                else:
-                    th = self.model.internal_tiles_async(chunk.seqs)
+                # fused mode: tiles were dispatched back in pass 1
+                th = th0 if th0 is not None else \
+                    self.model.internal_tiles_async(chunk.seqs)
                 sh = self.model.bc_sweep_async(wins)
                 if pending is not None:
-                    self._finish_chunk_cached(*pending, pw, fw)
+                    split_job = self._drain_cached(pending, split_job,
+                                                   pw, fw)
                 pending = (chunk, out, th, sh)
             if pending is not None:
-                self._finish_chunk_cached(*pending, pw, fw)
+                split_job = self._drain_cached(pending, split_job, pw, fw)
+            self._finish_splits(split_job, pw, fw)
         finally:
             self._p1_cache.clear()
             if pw is not None:
                 pw.close(wait=False)
                 fw.close(wait=False)
 
+    def _drain_cached(self, pending, split_job, pw, fw):
+        """Finish one cached chunk, then the PREVIOUS chunk's deferred
+        split job (its rescan overlapped this chunk's device work)."""
+        new_job = self._finish_chunk_cached(*pending, pw, fw)
+        self._finish_splits(split_job, pw, fw)
+        return new_job
+
     def _finish_chunk_cached(self, chunk, out, th, sh, pw, fw):
         """Cached-mode chunk finisher: chimera splits from the tile scan,
-        bc from the sweep-only search, emit from cached pass-1 meta."""
+        bc from the sweep-only search, emit from cached pass-1 meta.
+        Returns the deferred split-rescan job (see _finish_chunk)."""
         if isinstance(th, tuple) and th and th[0] == "fused":
             _, tiles3, covered, sub_h, need_idx = th
             splits, discard = self.model.finish_tiles_merged(
@@ -256,8 +273,8 @@ class ScanFastqPipeline:
         if splits:
             sub = self._split_parts_chunk(chunk, splits)
             s_h = self.model.scan_search_async(sub.seqs, sub.quals)
-            s_out, s_bc = self.model.finish_search(s_h)
-            self.pass2_emit(sub, s_out, s_bc, pw, fw)
+            return sub, s_h
+        return None
 
     def _pass1_apply(self, out: dict):
         r = self.cfg.readscanner
@@ -414,11 +431,17 @@ class ScanFastqPipeline:
                 quals.append(chunk.quals[i][cuts[part]:cuts[part + 1]])
         return fastq.FastqChunk(names, comments, seqs, quals)
 
-    def _finish_chunk(self, chunk, th, sh, passed, failed):
+    def _finish_chunk(self, chunk, th, sh, passed, failed,
+                      defer_splits=False):
         """Force one pipelined chunk: merge the tiled chimera results with
         the fused scan+search results. Unsplit reads (the vast majority)
         emit straight from the batch; split reads\' parts re-scan through
-        the exact fallback path (their edge geometry changed)."""
+        the same fused device path (their edge geometry changed).
+
+        With defer_splits the split-part rescan is only DISPATCHED here and
+        a (sub_chunk, handle) job is returned for _finish_splits — forcing
+        it inline costs a synchronous device round trip that queues behind
+        the NEXT chunk's dispatched work (~0.4 s/chunk measured)."""
         splits, discard = self.model.finish_internal_tiles(th)
         out, bc = self.model.finish_search(sh)
         self.stats.multi_chimeric_discarded += len(discard)
@@ -426,13 +449,21 @@ class ScanFastqPipeline:
         skip = discard | set(splits)
         self.pass2_emit(chunk, out, bc, passed, failed, skip=skip)
         if splits:
-            # split parts re-scan through the same fused device path (their
-            # edge geometry changed); the jnp fallback only serves reads
-            # with N bases inside it
             sub = self._split_parts_chunk(chunk, splits)
             s_h = self.model.scan_search_async(sub.seqs, sub.quals)
+            if defer_splits:
+                return sub, s_h
             s_out, s_bc = self.model.finish_search(s_h)
             self.pass2_emit(sub, s_out, s_bc, passed, failed)
+        return None
+
+    def _finish_splits(self, job, passed, failed):
+        """Force a deferred split-part rescan and emit its parts."""
+        if job is None:
+            return
+        sub, s_h = job
+        s_out, s_bc = self.model.finish_search(s_h)
+        self.pass2_emit(sub, s_out, s_bc, passed, failed)
 
     def pass2_chunk(self, chunk: fastq.FastqChunk,
                     passed: fastq.FastqWriter, failed: fastq.FastqWriter):
@@ -692,17 +723,24 @@ class ScanFastqPipeline:
                         for chunk in fastq.read_fastq(f, self.chunk_size):
                             self.pass2_chunk(chunk, pw, fw)
                         continue
-                    pending = None
+                    pending, split_job = None, None
                     for chunk in fastq.read_fastq(f, self.chunk_size):
                         self.stats.total_reads += len(chunk)
                         th = self.model.internal_tiles_async(chunk.seqs)
                         sh = self.model.scan_search_async(chunk.seqs,
                                                           chunk.quals)
                         if pending is not None:
-                            self._finish_chunk(*pending, pw, fw)
+                            nj = self._finish_chunk(*pending, pw, fw,
+                                                    defer_splits=True)
+                            self._finish_splits(split_job, pw, fw)
+                            split_job = nj
                         pending = (chunk, th, sh)
                     if pending is not None:
-                        self._finish_chunk(*pending, pw, fw)
+                        nj = self._finish_chunk(*pending, pw, fw,
+                                                defer_splits=True)
+                        self._finish_splits(split_job, pw, fw)
+                        split_job = nj
+                    self._finish_splits(split_job, pw, fw)
                 finally:
                     # async close: disk writes overlap the next file's
                     # compute
