@@ -83,6 +83,28 @@ class ScanStats:
         return d
 
 
+def _chunks_prefetched(files, chunk_size):
+    """Flattened (file, chunk) iterator with one chunk of read-ahead on a
+    background thread — the native fastq parse overlaps the device wait
+    of the previous chunk's scan."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def gen():
+        for f in files:
+            for chunk in fastq.read_fastq(f, chunk_size):
+                yield f, chunk
+
+    it = gen()
+    with ThreadPoolExecutor(1) as pool:
+        fut = pool.submit(next, it, None)
+        while True:
+            item = fut.result()
+            if item is None:
+                return
+            fut = pool.submit(next, it, None)
+            yield item
+
+
 class ScanFastqPipeline:
     def __init__(self, cfg: PipelineConfig | None = None,
                  whitelist: np.ndarray | list[str] | None = None,
@@ -667,19 +689,20 @@ class ScanFastqPipeline:
         if self.known_cells:
             self.use_fixed_list()
         elif caching:
-            # FULL pass-1 (edge meta + BC windows cached per chunk): the
-            # device scans chunk i+1 while the host counts chunk i's exact
-            # matches and stores its pass-2 inputs
-            p1_pending = None
-            for f in files:
-                for chunk in fastq.read_fastq(f, self.chunk_size):
-                    h = self.model.scan_pass1_full_async(chunk.seqs,
-                                                         chunk.quals)
-                    if p1_pending is not None:
-                        self._pass1_apply_cached(p1_pending)
-                    p1_pending = (chunk, f, h)
-            if p1_pending is not None:
-                self._pass1_apply_cached(p1_pending)
+            # FULL pass-1 (edge meta + BC windows cached per chunk),
+            # depth-2 double buffering + a 1-ahead reader thread: the
+            # device scans chunks i+1/i+2 while the host counts chunk i's
+            # exact matches and stores its pass-2 inputs
+            from collections import deque
+            p1_q: deque = deque()
+            for f, chunk in _chunks_prefetched(files, self.chunk_size):
+                h = self.model.scan_pass1_full_async(chunk.seqs,
+                                                     chunk.quals)
+                p1_q.append((chunk, f, h))
+                if len(p1_q) > 2:
+                    self._pass1_apply_cached(p1_q.popleft())
+            while p1_q:
+                self._pass1_apply_cached(p1_q.popleft())
             self.wl_counts = multihost.allreduce_counts(self.wl_counts)
             self.build_used_list()
             if jax.process_index() == 0:
