@@ -229,53 +229,54 @@ class ScanFastqPipeline:
         chimera scan + the sweep-only whitelist search (double-buffered),
         then emit from the CACHED edge meta — output-identical to the
         streaming path (tests/test_scanfastq.py::test_cached_pipeline_*)."""
-        cur_f, pw, fw = None, None, None
-        pending, split_job = None, None
+        from collections import deque
+        writers: dict = {}
+        pending: deque = deque()
+        split_job = None   # (sub, handle, pw, fw)
+
+        def get_writers(f):
+            w = writers.get(f)
+            if w is None:
+                stem = f.name
+                for suf in (".gz", ".fastq", ".fq"):
+                    stem = stem[:-len(suf)] if stem.endswith(suf) else stem
+                w = (fastq.FastqWriter(
+                        out_dir / "passed" / f"{stem}FWD{ext}"),
+                     fastq.FastqWriter(
+                        out_dir / "failed" / f"{stem}FAILED{ext}"))
+                writers[f] = w
+            return w
+
+        def drain_one():
+            nonlocal split_job
+            chunk, out, th, sh, pw, fw = pending.popleft()
+            nj = self._finish_chunk_cached(chunk, out, th, sh, pw, fw)
+            if split_job is not None:
+                self._finish_splits(split_job[0:2], split_job[2],
+                                    split_job[3])
+            split_job = (nj[0], nj[1], pw, fw) if nj is not None else None
+
         try:
             for f, chunk, out, wins, th0, dirty in self._p1_cache:
-                if f != cur_f:
-                    if pending is not None:
-                        split_job = self._drain_cached(pending, split_job,
-                                                       pw, fw)
-                        pending = None
-                    self._finish_splits(split_job, pw, fw)
-                    split_job = None
-                    if pw is not None:
-                        pw.close(wait=False)
-                        fw.close(wait=False)
-                    stem = f.name
-                    for suf in (".gz", ".fastq", ".fq"):
-                        stem = stem[:-len(suf)] if stem.endswith(suf) \
-                            else stem
-                    pw = fastq.FastqWriter(
-                        out_dir / "passed" / f"{stem}FWD{ext}")
-                    fw = fastq.FastqWriter(
-                        out_dir / "failed" / f"{stem}FAILED{ext}")
-                    cur_f = f
+                pw, fw = get_writers(f)
                 self.stats.total_reads += len(chunk)
                 # fused mode: tiles were dispatched back in pass 1
                 th = th0 if th0 is not None else \
                     self.model.internal_tiles_async(chunk.seqs)
                 sh = self.model.bc_sweep_async(wins)
-                if pending is not None:
-                    split_job = self._drain_cached(pending, split_job,
-                                                   pw, fw)
-                pending = (chunk, out, th, sh)
-            if pending is not None:
-                split_job = self._drain_cached(pending, split_job, pw, fw)
-            self._finish_splits(split_job, pw, fw)
+                pending.append((chunk, out, th, sh, pw, fw))
+                if len(pending) > 2:
+                    drain_one()
+            while pending:
+                drain_one()
+            if split_job is not None:
+                self._finish_splits(split_job[0:2], split_job[2],
+                                    split_job[3])
         finally:
             self._p1_cache.clear()
-            if pw is not None:
+            for pw, fw in writers.values():
                 pw.close(wait=False)
                 fw.close(wait=False)
-
-    def _drain_cached(self, pending, split_job, pw, fw):
-        """Finish one cached chunk, then the PREVIOUS chunk's deferred
-        split job (its rescan overlapped this chunk's device work)."""
-        new_job = self._finish_chunk_cached(*pending, pw, fw)
-        self._finish_splits(split_job, pw, fw)
-        return new_job
 
     def _finish_chunk_cached(self, chunk, out, th, sh, pw, fw):
         """Cached-mode chunk finisher: chimera splits from the tile scan,
